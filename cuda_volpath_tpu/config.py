@@ -1,0 +1,131 @@
+"""Render configuration.
+
+TPU-native re-design of the reference's parameter plumbing:
+
+* ``Param`` mirrors the per-launch kernel parameter block
+  (reference: src/param.h:4-12 — width/height/density/brightness/albedo/g/sigma_t).
+* ``RenderSettings`` lifts the reference's compile-time ``#define`` switches
+  (reference: src/volumeRender_kernel.cu:14-34 — SUN_LIGHT, PASSIVE_ENVMAP,
+  MULTI_CHANNEL/SPECTRAL_TRACKING, PRECOMPUTE_OPACITY, max_depth) plus the
+  kernel-variant selection (src/volumeRender_kernel.cu:2364-2370) into runtime
+  enums, so one compiled renderer supports every reference configuration.
+
+Everything here is a plain (frozen) dataclass: instances are hashable and are
+closed over by ``jax.jit`` as static configuration, never traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+class Tracker(enum.Enum):
+    """Which free-flight estimator drives the integrator.
+
+    Mirrors the three megakernels kept side-by-side in the reference
+    (src/volumeRender_kernel.cu:2364-2370):
+
+    * DELTA — global-majorant delta/spectral tracking (``__d_render``, :1285).
+    * BOUNDED — tracking restart every ``search_radius`` with a local max
+      density majorant (``__d_render_bounded``, :1667).
+    * DECOMP — BOUNDED plus analog decomposition tracking using the local min
+      density as a control medium (``__d_render_bounded_decomp``, :1958).
+      This is the variant the reference actually benchmarks.
+    """
+
+    DELTA = "delta"
+    BOUNDED = "bounded"
+    DECOMP = "decomp"
+
+
+class SpectralMode(enum.Enum):
+    """Chromatic rendering strategy (src/volumeRender_kernel.cu:23-27).
+
+    * SPECTRAL — spectral (joint RGB) tracking with history-aware weights;
+      the reference default (SPECTRAL_TRACKING=1).
+    * MULTI_CHANNEL — one wavelength per sample, chosen uniformly; writes a
+      single channel scaled by 3 (MULTI_CHANNEL=1 path, kernel.cu:1319-1321).
+    * MONO — fast achromatic mode (both switches off): scalar sigma_t,
+      throughput *= albedo after each real collision (kernel.cu:1436-1455).
+    """
+
+    SPECTRAL = "spectral"
+    MULTI_CHANNEL = "multi_channel"
+    MONO = "mono"
+
+
+class EnvmapMode(enum.Enum):
+    """Environment lighting strategy (src/volumeRender_kernel.cu:21).
+
+    * PASSIVE — envmap contributes only when a path escapes the volume
+      (PASSIVE_ENVMAP=1, the reference default).
+    * MIS — one-sample MIS between phase function and the envmap luminance
+      CDF at every scatter (the compiled-out branch, kernel.cu:1494-1569).
+    """
+
+    PASSIVE = "passive"
+    MIS = "mis"
+
+
+class FilterMode(enum.Enum):
+    """Density texture filtering (reference toggles at runtime with 'f';
+    src/volumeRender_kernel.cu:422-439)."""
+
+    NEAREST = "nearest"
+    LINEAR = "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class Param:
+    """Per-launch render parameters (reference src/param.h:4-12).
+
+    ``sigma_t`` is the normalized spectral extinction (max channel == 1,
+    see ``Mat`` in src/volumeRender.cpp:44-57); ``density`` scales it to the
+    physical extinction coefficient. ``albedo`` is the single-scattering
+    albedo per channel, ``g`` the Henyey-Greenstein anisotropy.
+    """
+
+    width: int = 960
+    height: int = 512
+    density: float = 800.0
+    brightness: float = 1.0
+    albedo: Vec3 = (1.0, 1.0, 1.0)
+    g: float = 0.877
+    sigma_t: Vec3 = (1.0, 1.0, 1.0)
+
+    def replace(self, **kw) -> "Param":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Runtime equivalents of the reference's compile-time configuration
+    (src/volumeRender_kernel.cu:14-34 and TextureVolume::search_radius :151).
+    """
+
+    tracker: Tracker = Tracker.DECOMP
+    spectral: SpectralMode = SpectralMode.SPECTRAL
+    envmap_mode: EnvmapMode = EnvmapMode.PASSIVE
+    sun_light: bool = True
+    precompute_opacity: bool = True
+    max_depth: int = 800
+    search_radius: float = 0.05
+    filter_mode: FilterMode = FilterMode.LINEAR
+    # Gamma used by the display/tonemap path (src/volumeRender.cpp:481).
+    gamma: float = 2.2
+    # Wavefront execution knobs (TPU-specific; no reference equivalent).
+    # Number of state-machine micro-steps fused into one jitted call.
+    steps_per_launch: int = 256
+    # Hard cap on inner null-collision iterations per micro-step is 1 by
+    # construction (the wavefront advances one collision event per step).
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_PARAM = Param()
+DEFAULT_SETTINGS = RenderSettings()

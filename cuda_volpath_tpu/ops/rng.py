@@ -1,0 +1,89 @@
+"""Vectorized counter-initialised RNG with reference-identical streams.
+
+The reference uses a stateless-per-sample generator: each (pixel, sample)
+pair seeds a tiny xoroshiro-like 32-bit generator through a Wang-style
+integer hash (reference src/sampler.h:3-46).  Because the state is derived
+purely from (pixel_x, pixel_y, frame_idx), the streams are deterministic and
+independent of any launch geometry — which is exactly the property we need
+for sharding-invariant multi-chip rendering: a pixel's sample sequence is
+identical no matter which device renders it.
+
+Here the generator is expressed as whole-array uint32 ops over an ``(N, 2)``
+state, so one fused VPU pass advances every ray's stream.  All operations
+wrap mod 2**32 like the CUDA originals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+UINT = jnp.uint32
+
+
+def hash_u32(seed: jnp.ndarray) -> jnp.ndarray:
+    """Wang-style avalanche hash (reference src/sampler.h:3-11)."""
+    seed = seed.astype(UINT)
+    seed = (seed ^ UINT(61)) ^ (seed >> UINT(16))
+    seed = seed * UINT(9)
+    seed = seed ^ (seed >> UINT(4))
+    seed = seed * UINT(0x27D4EB2D)
+    seed = seed ^ (seed >> UINT(15))
+    return seed
+
+
+def _rotl(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return (x << UINT(k)) | (x >> UINT(32 - k))
+
+
+def rng_next(state: jnp.ndarray):
+    """Advance the xoroshiro-like stream one step.
+
+    ``state`` is ``(..., 2) uint32``; returns ``(new_state, raw_u32)``.
+    Matches ``RngNext`` (reference src/sampler.h:13-22): the output word is
+    produced from the *pre-update* first word.
+    """
+    x = state[..., 0]
+    y = state[..., 1]
+    result = x * UINT(0x9E3779BB)
+    y = y ^ x
+    x = _rotl(x, 26) ^ y ^ (y << UINT(9))
+    y = _rotl(x, 13)
+    return jnp.stack([x, y], axis=-1), result
+
+
+def init(pixel_x: jnp.ndarray, pixel_y: jnp.ndarray, sample_idx) -> jnp.ndarray:
+    """Seed per-ray streams from (pixel, sample) (reference src/sampler.h:35-43).
+
+    ``sample_idx`` may be a scalar (same sample index for all pixels, like a
+    per-frame launch) or an array broadcastable against ``pixel_x``.
+    Returns ``(..., 2) uint32`` state, already burned one step like the
+    reference's trailing ``RngNext`` call.
+    """
+    px = jnp.asarray(pixel_x, UINT)
+    py = jnp.asarray(pixel_y, UINT)
+    fi = jnp.broadcast_to(jnp.asarray(sample_idx, UINT), px.shape)
+    s0 = (px << UINT(16)) | py
+    state = jnp.stack([hash_u32(s0), hash_u32(fi)], axis=-1)
+    state, _ = rng_next(state)
+    return state
+
+
+def next_float(state: jnp.ndarray):
+    """Uniform in [0, 1) via the float bit trick (reference src/sampler.h:24-28).
+
+    Sets the exponent bits of 1.0f and fills the 23-bit mantissa with the top
+    random bits, then subtracts 1.  Returns ``(new_state, float in [0,1))``.
+    """
+    state, raw = rng_next(state)
+    bits = UINT(0x3F800000) | (raw >> UINT(9))
+    return state, jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
+
+
+def next_floats(state: jnp.ndarray, n: int):
+    """Draw ``n`` sequential uniforms; returns ``(new_state, tuple_of_arrays)``."""
+    outs = []
+    for _ in range(n):
+        state, u = next_float(state)
+        outs.append(u)
+    return state, tuple(outs)
