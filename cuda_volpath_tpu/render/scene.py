@@ -1,0 +1,127 @@
+"""Scene container: volume grids, lighting, and material parameters.
+
+TPU-native replacement for the reference's scattered device globals — the
+``__constant__`` texture handles (kernel.cu:339-347), sun constants
+(kernel.cu:1254-1256) and envmap module state (kernel.cu:858-880) — as one
+jit-traversable pytree.  "Uploading" a constant is simply passing a new
+pytree leaf; XLA keeps everything resident in HBM across launches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import Param
+from ..ops import grid as gridmod
+from ..ops import boundgrid as boundmod
+from ..lighting import envmap as envmod
+
+
+@struct.dataclass
+class Materials:
+    """Traced (non-static) render parameters — the fields of ``Param``
+    (src/param.h) that the kernels consume.  Changing them does not retrigger
+    compilation."""
+
+    density: jnp.ndarray      # scalar
+    brightness: jnp.ndarray   # scalar
+    albedo: jnp.ndarray       # (3,)
+    g: jnp.ndarray            # scalar
+    sigma_t: jnp.ndarray      # (3,)
+
+
+def materials_from_param(p: Param) -> Materials:
+    return Materials(density=jnp.float32(p.density),
+                     brightness=jnp.float32(p.brightness),
+                     albedo=jnp.asarray(p.albedo, jnp.float32),
+                     g=jnp.float32(p.g),
+                     sigma_t=jnp.asarray(p.sigma_t, jnp.float32))
+
+
+def make_material(sx, sy, sz, ax, ay, az) -> Materials:
+    """(sigma_s, sigma_a) → normalized (sigma_t, albedo), max sigma_t = 1
+    (reference ``Mat``, src/volumeRender.cpp:44-57)."""
+    st = np.asarray([sx + ax, sy + ay, sz + az], np.float32)
+    albedo = np.asarray([sx, sy, sz], np.float32) / st
+    st = st / st.max()
+    return Materials(density=jnp.float32(800.0), brightness=jnp.float32(1.0),
+                     albedo=jnp.asarray(albedo), g=jnp.float32(0.877),
+                     sigma_t=jnp.asarray(st))
+
+
+# The 13 preset materials (src/volumeRender.cpp:1296-1308), as (σs, σa)
+# triples fed through make_material.
+MATERIAL_PRESETS = [
+    (2.29, 2.39, 1.97, 0.0030, 0.0034, 0.046),
+    (0.15, 0.21, 0.38, 0.015, 0.077, 0.19),
+    (0.19, 0.25, 0.32, 0.018, 0.088, 0.20),
+    (7.38, 5.47, 3.15, 0.0002, 0.0028, 0.0163),
+    (0.18, 0.07, 0.03, 0.061, 0.97, 1.45),
+    (2.19, 2.62, 3.00, 0.0021, 0.0041, 0.0071),
+    (0.68, 0.70, 0.55, 0.0024, 0.0090, 0.12),
+    (0.70, 1.22, 1.90, 0.0014, 0.0025, 0.0142),
+    (0.74, 0.88, 1.01, 0.032, 0.17, 0.48),
+    (1.09, 1.59, 1.79, 0.013, 0.070, 0.145),
+    (11.6, 20.4, 14.9, 0.0, 0.0, 0.0),
+    (2.55, 3.21, 3.77, 0.0011, 0.0024, 0.014),
+    (1.0, 1.0, 1.0, 0.0, 0.0, 0.0),
+]
+
+
+@struct.dataclass
+class Scene:
+    density: gridmod.Grid3D        # (Nz,Ny,Nx) uint8 or f32
+    bound: gridmod.Grid3D          # (Nz,Ny,Nx,2): [max, min]
+    opacity: gridmod.Grid3D        # (Nz,Ny,Nx) f32 sun optical-depth cache
+    envmap: envmod.Envmap
+    sun_dir: jnp.ndarray           # (3,)
+    sun_power: jnp.ndarray         # (3,) directional (disk-converted)
+    sun_power_original: jnp.ndarray  # (3,) disk radiance for primary hits
+    mat: Materials
+
+
+def make_scene(volume: np.ndarray,
+               mat: Materials,
+               envmap: Optional[envmod.Envmap] = None,
+               sun_dir=(0.0, 1.0, 0.0),
+               sun_power=(0.0, 0.0, 0.0),
+               sun_power_original=None,
+               box_min=None, box_max=None,
+               search_radius: float = 0.05,
+               quantize: bool = True,
+               opacity: Optional[np.ndarray] = None) -> Scene:
+    """Bake a dense volume into a render-ready scene.
+
+    Mirrors the ingestion path loadVdbFile → init_cuda (volumeRender.cpp:
+    968-1019, kernel.cu:354-420): optional normalize-by-max uint8
+    quantization, bound-grid build on the (quantized) data, aspect-derived
+    default bounding box.
+    """
+    volume = np.asarray(volume, np.float32)
+    if quantize:
+        data = np.asarray(gridmod.quantize_u8(volume))
+    else:
+        data = volume
+    bound = boundmod.build_bound_grid(data, search_radius)
+
+    density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
+    bound_g = gridmod.Grid3D(data=jnp.asarray(bound),
+                             box_min=density.box_min, box_max=density.box_max)
+    if opacity is None:
+        opacity = np.zeros_like(volume, np.float32)
+    opacity_g = gridmod.Grid3D(data=jnp.asarray(opacity, jnp.float32),
+                               box_min=density.box_min,
+                               box_max=density.box_max)
+    if envmap is None:
+        envmap = envmod.constant((0.0, 0.0, 0.0))
+    spo = sun_power if sun_power_original is None else sun_power_original
+    return Scene(density=density, bound=bound_g, opacity=opacity_g,
+                 envmap=envmap,
+                 sun_dir=jnp.asarray(sun_dir, jnp.float32),
+                 sun_power=jnp.asarray(sun_power, jnp.float32),
+                 sun_power_original=jnp.asarray(spo, jnp.float32),
+                 mat=mat)
