@@ -1,0 +1,112 @@
+"""Multi-chip scale-out via shard_map over a 1D device mesh.
+
+The reference is strictly single-GPU (device 0 hard-coded,
+src/denoiser.cpp:95-96; parallelism is only CUDA launch geometry,
+SURVEY.md §2.4).  This module is the new capability: the wavefront pool is
+sharded across devices, each device owning
+
+* a slice of the lane pool,
+* its own (pixel, sample) work-queue cursor (a contiguous item range), and
+* a private full-frame film shard.
+
+Because RNG streams are keyed by (pixel, sample) — not by lane or device —
+every sample's random sequence is identical no matter which device draws
+it, so results are sharding-invariant by construction.  The render hot loop
+has **zero cross-device communication**; films are combined with a single
+``psum``-equivalent sum at readout, which rides ICI on a real TPU slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..config import RenderSettings
+from ..render import camera as cammod
+from ..render import film as filmmod
+from ..render import integrator
+from ..render.scene import Scene
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int
+                       ) -> integrator.PathState:
+    """Global pool state: per-lane leaves (n_dev*pool, ...), queue cursors
+    (n_dev,) — device d owns the contiguous item range
+    [d*per, min((d+1)*per, total))."""
+    st = integrator.init_state(pool_per_device * n_dev)
+    per = -(-total_items // n_dev)
+    next_item = np.minimum(np.arange(n_dev) * per, total_items)
+    upper = np.minimum((np.arange(n_dev) + 1) * per, total_items)
+    return st.replace(next_item=jnp.asarray(next_item, jnp.int32),
+                      total_items=jnp.asarray(upper, jnp.int32))
+
+
+def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
+                        width: int, height: int, mesh: Mesh):
+    """Build the sharded launch: (scene, state, film_sum, film_count) →
+    (state, film_sum, film_count), all device-local work."""
+    step, _ = integrator.make_step_fn(settings, cam, width, height)
+    axis = mesh.axis_names[0]
+
+    def local_launch(scene: Scene, st: integrator.PathState,
+                     fsum: jnp.ndarray, fcount: jnp.ndarray):
+        film = filmmod.Film(sum=fsum[0], count=fcount[0],
+                            width=width, height=height)
+
+        def body(_, carry):
+            return step(scene, *carry)
+
+        st, film = jax.lax.fori_loop(0, settings.steps_per_launch, body,
+                                     (st, film))
+        return st, film.sum[None], film.count[None]
+
+    state_spec = jax.tree.map(lambda _: P(axis), integrator.init_state(1))
+    launch = shard_map(local_launch, mesh=mesh,
+                       in_specs=(P(), state_spec, P(axis), P(axis)),
+                       out_specs=(state_spec, P(axis), P(axis)))
+    return jax.jit(launch, donate_argnums=(1, 2, 3))
+
+
+def render_sharded(scene: Scene, cam: cammod.Camera,
+                   settings: RenderSettings, width: int, height: int,
+                   spp: int, mesh: Mesh | None = None,
+                   pool_per_device: int = 1 << 16,
+                   max_launches: int | None = None) -> filmmod.Film:
+    """Render with the work queue split across the mesh; returns the merged
+    film.  Sample means are bitwise independent of the device count."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    npix = width * height
+    total = npix * spp
+
+    launch = make_sharded_launch(settings, cam, width, height, mesh)
+    st = init_sharded_state(pool_per_device, n_dev, total)
+    fsum = jnp.zeros((n_dev, npix + 1, 4), jnp.float32)
+    fcount = jnp.zeros((n_dev, npix + 1), jnp.float32)
+
+    launches = 0
+    while True:
+        st, fsum, fcount = launch(scene, st, fsum, fcount)
+        launches += 1
+        if max_launches is not None and launches >= max_launches:
+            break
+        if bool(jnp.all(st.status == integrator.DONE)) and \
+                bool(jnp.all(st.next_item >= st.total_items)):
+            break
+
+    return filmmod.Film(sum=fsum.sum(axis=0), count=fcount.sum(axis=0),
+                        width=width, height=height)

@@ -95,9 +95,10 @@ class PathState:
     sh_inv_sigma: jnp.ndarray  # (N,)
     sh_rho: jnp.ndarray       # (N,) density_prime at NEE order
     sh_term: jnp.ndarray      # (N,3) termination flags (0/1)
-    # work queue
-    next_item: jnp.ndarray    # () i32
-    total_items: jnp.ndarray  # () i32
+    # work queue (shape (1,) so a device-sharded pool can carry one queue
+    # cursor per device under shard_map)
+    next_item: jnp.ndarray    # (1,) i32
+    total_items: jnp.ndarray  # (1,) i32
 
 
 def init_state(pool: int) -> PathState:
@@ -114,7 +115,7 @@ def init_state(pool: int) -> PathState:
         d_max=z(pool), g_cur=z(pool), density_prime=z(pool),
         nee_coeff=z(pool, 3), sh_dist=z(pool), sh_maxt=z(pool),
         sh_inv_sigma=z(pool), sh_rho=z(pool), sh_term=z(pool, 3),
-        next_item=jnp.int32(0), total_items=jnp.int32(0))
+        next_item=zi(1), total_items=zi(1))
 
 
 def _w(mask, a, b):
@@ -165,10 +166,11 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         and pull new (pixel, sample) work items."""
         can = st.status == DONE
         rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
-        item = st.next_item + rank
-        ok = can & (item < st.total_items)
-        n_spawned = jnp.minimum(jnp.sum(can.astype(jnp.int32)),
-                                jnp.maximum(st.total_items - st.next_item, 0))
+        item = st.next_item[0] + rank
+        ok = can & (item < st.total_items[0])
+        n_spawned = jnp.minimum(
+            jnp.sum(can.astype(jnp.int32)),
+            jnp.maximum(st.total_items[0] - st.next_item[0], 0))
 
         pixel = item % npix
         sample = item // npix
@@ -434,14 +436,14 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, cam, width, height)
     st = init_state(pool)
-    st = st.replace(total_items=jnp.int32(npix * spp))
+    st = st.replace(total_items=jnp.full((1,), npix * spp, jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
 
     while True:
         st, film = launch(scene, st, film)
         done = bool(jnp.all(st.status == DONE)) and \
-            int(st.next_item) >= int(st.total_items)
+            int(st.next_item[0]) >= int(st.total_items[0])
         if done:
             break
     return film
