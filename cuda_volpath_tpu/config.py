@@ -118,8 +118,9 @@ class RenderSettings:
     # Gamma used by the display/tonemap path (src/volumeRender.cpp:481).
     gamma: float = 2.2
     # Wavefront execution knobs (TPU-specific; no reference equivalent).
-    # Number of state-machine micro-steps fused into one jitted call.
-    steps_per_launch: int = 256
+    # Number of state-machine micro-steps unrolled into one jitted call
+    # (unrolled, not lax.fori_loop — see integrator.make_step_fn).
+    steps_per_launch: int = 32
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

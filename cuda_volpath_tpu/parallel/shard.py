@@ -66,11 +66,9 @@ def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
         film = filmmod.Film(sum=fsum[0], count=fcount[0],
                             width=width, height=height)
 
-        def body(_, carry):
-            return step(scene, *carry)
-
-        st, film = jax.lax.fori_loop(0, settings.steps_per_launch, body,
-                                     (st, film))
+        # unrolled for the same gather-in-loop reason as integrator.launch
+        for _ in range(settings.steps_per_launch):
+            st, film = step(scene, st, film)
         return st, film.sum[None], film.count[None]
 
     state_spec = jax.tree.map(lambda _: P(axis), integrator.init_state(1))

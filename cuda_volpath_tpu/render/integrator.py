@@ -412,11 +412,15 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def launch(scene: Scene, st: PathState, film: filmmod.Film):
-        def body(_, carry):
-            st, film = carry
-            return step(scene, st, film)
-        return jax.lax.fori_loop(0, settings.steps_per_launch, body,
-                                 (st, film))
+        # The micro-steps are Python-unrolled rather than rolled into
+        # lax.fori_loop/scan: on TPU, XLA lowers gathers inside loop bodies
+        # to a serialized path that is orders of magnitude slower than the
+        # top-level dynamic-gather kernel (measured ~4600x on v5e).  The
+        # trilinear fetches are the hot op, so the step graph is replicated
+        # steps_per_launch times instead — same math, fast gathers.
+        for _ in range(settings.steps_per_launch):
+            st, film = step(scene, st, film)
+        return st, film
 
     return step, launch
 

@@ -106,7 +106,10 @@ def make_scene(volume: np.ndarray,
         data = np.asarray(gridmod.quantize_u8(volume))
     else:
         data = volume
-    bound = boundmod.build_bound_grid(data, search_radius)
+    from ..volume import loaders as loadersmod
+    bound = loadersmod.build_bound_grid_native(data, search_radius)
+    if bound is None:
+        bound = boundmod.build_bound_grid(data, search_radius)
 
     density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
     bound_g = gridmod.Grid3D(data=jnp.asarray(bound),

@@ -1,0 +1,62 @@
+"""Bound-grid builder vs brute-force oracle, and opacity bake."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuda_volpath_tpu.ops import boundgrid, grid as gridmod
+from cuda_volpath_tpu.volume import opacity
+
+
+@pytest.mark.parametrize("shape,sr", [((9, 8, 7), 0.3), ((16, 16, 16), 0.05),
+                                      ((6, 5, 12), 0.2)])
+def test_matches_bruteforce_float(rng_np, shape, sr):
+    vol = rng_np.random(shape).astype(np.float32)
+    got = boundgrid.build_bound_grid(vol, sr)
+    want = boundgrid.build_bound_grid_bruteforce(vol, sr)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_matches_bruteforce_uint8(rng_np):
+    vol = (rng_np.random((10, 11, 12)) * 255).astype(np.uint8)
+    got = boundgrid.build_bound_grid(vol, 0.25)
+    want = boundgrid.build_bound_grid_bruteforce(vol, 0.25)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_radius_semantics():
+    # cell_size = 2/Nx; r = ceil(sr / cell) (volumeRender.cpp:1098-1102)
+    assert boundgrid.radius_in_voxels(256, 0.05) == 7
+    assert boundgrid.radius_in_voxels(32, 0.05) == 1
+
+
+def test_bounds_bracket_density(rng_np):
+    vol = rng_np.random((12, 12, 12)).astype(np.float32)
+    b = boundgrid.build_bound_grid(vol, 0.1)
+    assert (b[..., 0] >= vol).all()
+    assert (b[..., 1] <= vol).all()
+
+
+def test_opacity_bake_constant_volume():
+    """Constant density 1: opacity ≈ distance to box exit toward the sun."""
+    n = 12
+    vol = jnp.ones((n, n, n), jnp.float32)
+    g = gridmod.make_grid(vol)  # box [-1,1]^3
+    light = (0.0, 1.0, 0.0)  # straight up
+    od = np.asarray(opacity.bake(g, light, dt=0.01))
+    # voxel at the bottom center: distance to top ≈ 2 - half voxel
+    ys = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    expect = 1.0 - ys  # distance from voxel center to +y face
+    got = od[n // 2, :, n // 2]
+    np.testing.assert_allclose(got, expect, atol=0.03)
+
+
+def test_native_matches_numpy(rng_np):
+    from cuda_volpath_tpu.volume import loaders
+    vol = (rng_np.random((14, 9, 21)) * 255).astype(np.uint8)
+    got = loaders.build_bound_grid_native(vol, 0.12)
+    if got is None:
+        pytest.skip("native boundgrid not built (make -C cuda_volpath_tpu/native)")
+    want = boundgrid.build_bound_grid(vol, 0.12)
+    np.testing.assert_array_equal(got, want)
