@@ -1,0 +1,219 @@
+"""Headless render-job runner — the TPU-native equivalent of the
+reference's interactive shell (src/volumeRender.cpp:1284-1403 ``main`` +
+the display/frame loop :613-672).
+
+Where the reference drives one kernel launch per frame inside a GLUT loop
+and mutates parameters from hot-keys, this runs a progressive render to a
+target spp with periodic throughput reporting (the "M samples / s" meter,
+volumeRender.cpp:634-638), capture-style outputs (PPM + HDR, ``capture``
+volumeRender.cpp:585-610), a heat AOV, and checkpoint/resume of the film
+(SURVEY.md §5 — the reference can only reset, never persist).
+
+Usage examples:
+
+    python -m cuda_volpath_tpu.apps.render_cli --scene flagship --spp 64
+    python -m cuda_volpath_tpu.apps.render_cli --scene blob --size 320x180 \
+        --tracker delta --preset 3 -o blob.ppm
+    python -m cuda_volpath_tpu.apps.render_cli --volume cloud.vdb --spp 256 \
+        --sun 0.5 0.2 --checkpoint run.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cuda-volpath-tpu",
+        description="TPU-native volumetric path tracer (render job runner)")
+    p.add_argument("--scene", default="flagship",
+                   choices=["flagship", "blob"],
+                   help="built-in scene (ignored if --volume is given)")
+    p.add_argument("--volume", default=None,
+                   help="volume file: .vdb, .bin (w/h/d header), or .npz")
+    p.add_argument("--size", default="960x512",
+                   help="WxH (reference default 960x512)")
+    p.add_argument("--spp", type=int, default=32)
+    p.add_argument("--tracker", default="decomp",
+                   choices=["delta", "bounded", "decomp"])
+    p.add_argument("--filter", default="nearest",
+                   choices=["nearest", "linear"],
+                   help="density filtering ('f' toggle in the reference)")
+    p.add_argument("--preset", type=int, default=None,
+                   help="material preset index 0-12 (space key cycle)")
+    p.add_argument("--density", type=float, default=800.0)
+    p.add_argument("--brightness", type=float, default=1.0)
+    p.add_argument("--albedo", type=float, nargs=3, default=(1.0, 1.0, 1.0))
+    p.add_argument("--g", type=float, default=0.877)
+    p.add_argument("--sigma-t", type=float, nargs=3, default=(1.0, 1.0, 1.0))
+    p.add_argument("--sun", type=float, nargs=2, default=(0.5, 0.2),
+                   metavar=("X", "Y"), help="sun direction (x, y) as in "
+                   "setup_sunsky(0.5, 0.2)")
+    p.add_argument("--no-sun", action="store_true",
+                   help="disable explicit sun NEE (SUN_LIGHT=0)")
+    p.add_argument("--no-opacity-cache", action="store_true",
+                   help="disable the baked-opacity NEE shortcut")
+    p.add_argument("--max-depth", type=int, default=800)
+    p.add_argument("--pool", type=int, default=None,
+                   help="wavefront pool size (default min(npix, 2^19))")
+    p.add_argument("--steps-per-launch", type=int, default=32)
+    p.add_argument("--orbit", type=float, nargs=2, default=None,
+                   metavar=("DX", "DY"), help="orbit the default camera")
+    p.add_argument("--zoom", type=float, default=None)
+    p.add_argument("-o", "--output", default="output0.ppm",
+                   help=".ppm (gamma) output path; .hdr is written alongside")
+    p.add_argument("--heat", default=None,
+                   help="write the scatter-count heat AOV as .ppm")
+    p.add_argument("--denoise", action="store_true",
+                   help="apply the edge-aware denoiser post-pass")
+    p.add_argument("--checkpoint", default=None,
+                   help="film checkpoint path (.npz); resumes if it exists")
+    p.add_argument("--report-every", type=float, default=2.0,
+                   help="seconds between throughput reports")
+    return p
+
+
+def _load_scene(args, param):
+    from .. import scenes
+    from ..render.scene import (make_scene, materials_from_param,
+                                make_material, MATERIAL_PRESETS)
+    from ..lighting import sunsky as sunskymod
+
+    if args.preset is not None:
+        mat = make_material(*MATERIAL_PRESETS[args.preset % 13])
+        mat = mat.replace(density=np.float32(param.density),
+                          brightness=np.float32(param.brightness))
+    else:
+        mat = materials_from_param(param)
+
+    if args.volume is not None:
+        from ..volume import loaders
+        path = args.volume
+        if path.endswith(".npz"):
+            vol = np.load(path)["vol"]
+        elif path.endswith(".vdb"):
+            vol = loaders.load_vdb(path, quantized=False)
+        else:
+            vol = loaders.load_binary(path, quantized=False)
+        env, sun_dir, sun_directional, sun_disk = \
+            sunskymod.make_envmap_and_sun(*args.sun)
+        scene = make_scene(vol, mat, envmap=env, sun_dir=sun_dir,
+                           sun_power=sun_directional,
+                           sun_power_original=sun_disk)
+        from ..render import camera as cammod
+        cam = cammod.make_camera()
+    elif args.scene == "flagship":
+        scene, cam, _ = scenes.flagship(
+            sun_x=args.sun[0], sun_y=args.sun[1],
+            bake_opacity=not args.no_opacity_cache)
+        scene = scene.replace(mat=mat)
+    else:
+        scene, cam, _ = scenes.gaussian_blob(32)
+        scene = scene.replace(mat=mat)
+    return scene, cam
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    import jax.numpy as jnp
+    from ..config import Param, RenderSettings, Tracker, FilterMode
+    from ..render import camera as cammod
+    from ..render import film as filmmod
+    from ..render import integrator
+    from ..render import postprocess
+    from ..io import ppm as ppmio
+    from ..io import hdr as hdrio
+
+    try:
+        width, height = (int(v) for v in args.size.lower().split("x"))
+    except ValueError:
+        print(f"error: --size must be WxH (e.g. 960x512), got {args.size!r}",
+              file=sys.stderr)
+        return 2
+    param = Param(width=width, height=height, density=args.density,
+                  brightness=args.brightness, albedo=tuple(args.albedo),
+                  g=args.g, sigma_t=tuple(args.sigma_t))
+    settings = RenderSettings(
+        tracker=Tracker(args.tracker),
+        filter_mode=FilterMode(args.filter),
+        sun_light=not args.no_sun,
+        precompute_opacity=not args.no_opacity_cache,
+        max_depth=args.max_depth,
+        steps_per_launch=args.steps_per_launch)
+
+    t0 = time.time()
+    scene, cam = _load_scene(args, param)
+    if args.orbit:
+        cam = cammod.orbit(cam, *args.orbit)
+    if args.zoom:
+        cam = cammod.zoom(cam, args.zoom)
+    print(f"# scene ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    npix = width * height
+    pool = args.pool or min(npix, 1 << 19)
+    _, launch = integrator.make_step_fn(settings, cam, width, height)
+
+    film = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        film = filmmod.from_numpy_state(
+            {k: v for k, v in np.load(args.checkpoint).items()})
+        print(f"# resumed from {args.checkpoint} "
+              f"(mean spp {float(np.mean(np.asarray(filmmod.spp(film)))):.1f})",
+              file=sys.stderr)
+    if film is None:
+        film = filmmod.make_film(width, height)
+
+    st = integrator.init_state(pool)
+    st = st.replace(total_items=jnp.full((1,), npix * args.spp, jnp.int32))
+
+    t0 = time.time()
+    last_report, last_count = t0, 0.0
+    while True:
+        st, film = launch(scene, st, film)
+        now = time.time()
+        if now - last_report >= args.report_every:
+            done = float(jnp.sum(film.count[:-1]))
+            rate = (done - last_count) / (now - last_report)
+            print(f"# {rate / 1e6:.3f} M samples / s, {width} x {height}, "
+                  f"{done / npix:.1f}/{args.spp} spp",
+                  file=sys.stderr)
+            last_report, last_count = now, done
+        if bool(jnp.all(st.status == integrator.DONE)) and \
+                int(st.next_item[0]) >= int(st.total_items[0]):
+            break
+    total = time.time() - t0
+    print(f"# rendered {args.spp} spp in {total:.1f}s "
+          f"({npix * args.spp / total / 1e6:.3f} M samples/s)",
+          file=sys.stderr)
+
+    if args.checkpoint:
+        np.savez_compressed(args.checkpoint, **filmmod.to_numpy_state(film))
+        print(f"# checkpoint -> {args.checkpoint}", file=sys.stderr)
+
+    img = filmmod.image(film)
+    if args.denoise:
+        img = postprocess.denoise(
+            img, filmmod.heat(film),
+            spp=float(np.mean(np.asarray(filmmod.spp(film)))))
+    out = args.output
+    ppmio.write_ppm(out, np.asarray(postprocess.tonemap_display(
+        img, settings.gamma)))
+    hdrio.write_hdr(os.path.splitext(out)[0] + ".hdr", np.asarray(img))
+    print(f"# wrote {out} and "
+          f"{os.path.splitext(out)[0] + '.hdr'}", file=sys.stderr)
+    if args.heat:
+        ht = np.asarray(filmmod.heat(film))
+        ppmio.write_ppm(args.heat, np.repeat(
+            (ht / max(ht.max(), 1e-6))[..., None], 3, axis=-1))
+        print(f"# wrote {args.heat}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

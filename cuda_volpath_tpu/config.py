@@ -114,13 +114,26 @@ class RenderSettings:
     precompute_opacity: bool = True
     max_depth: int = 800
     search_radius: float = 0.05
-    filter_mode: FilterMode = FilterMode.LINEAR
+    # Density filtering defaults to point sampling like the reference
+    # (``linear_interp = false``, src/volumeRender_kernel.cu:351; 'f'
+    # toggles it at runtime).  On TPU a trilinear fetch is 8 gathers
+    # instead of 1, so the default also matters for speed.
+    filter_mode: FilterMode = FilterMode.NEAREST
+    # The reference's opacity cache texture is always trilinear
+    # (create_cuda_texture<float>(..., true, true), kernel.cu:541-542).
+    # NEAREST is the TPU-native default: the cache is only used for the
+    # deep-scatter NEE shortcut where the ~half-voxel error is invisible,
+    # and it cuts 8 gathers to 1 per micro-step.
+    opacity_filter: FilterMode = FilterMode.NEAREST
     # Gamma used by the display/tonemap path (src/volumeRender.cpp:481).
     gamma: float = 2.2
     # Wavefront execution knobs (TPU-specific; no reference equivalent).
     # Number of state-machine micro-steps unrolled into one jitted call
     # (unrolled, not lax.fori_loop — see integrator.make_step_fn).
     steps_per_launch: int = 32
+    # Retire/spawn cadence in micro-steps: the work-queue cumsum + film
+    # scatter are whole-pool ops, amortized over several march steps.
+    spawn_every: int = 8
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

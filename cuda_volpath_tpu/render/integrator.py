@@ -6,37 +6,65 @@ SIMT divergence handling and no per-lane loops, so the nested
 free-flight / null-collision / shadow-march loops become a flat
 **state machine over a pool of rays**: every jitted micro-step advances all
 lanes by one event, with per-lane phase masks instead of branches, and
-retired lanes are immediately *regenerated* from a global (pixel, sample)
-work queue so the pool stays fully occupied — this replaces both CUDA's
-early-exiting threads and warp-level divergence with dense vector work.
+retired lanes are *regenerated* from a global (pixel, sample) work queue so
+the pool stays fully occupied — this replaces both CUDA's early-exiting
+threads and warp-level divergence with dense vector work.
 
-Physics follows ``__d_render_bounded_decomp`` (kernel.cu:1958-2318) exactly,
-with the DELTA / BOUNDED variants expressed as parameter degenerations of
-the same step (see config.Tracker):
+TPU-specific design points (measured on v5e — random gathers cost ~8 ns per
+element regardless of table size, so performance is set by (a) gathered
+elements per micro-step and (b) micro-steps per camera sample):
+
+* The camera-path null-collision march and the NEE shadow march are **one
+  unified code path**: both advance ``dist += -ln(U)/σ`` and fetch the
+  density grid once per micro-step; a lane's mode only changes which
+  (cheap, masked) state update applies.
+* Segments come from a **coarse multiscale bound pyramid**
+  (ops.boundgrid.build_multiscale_bounds) instead of the reference's
+  full-resolution bound texture: the largest scale whose window is
+  homogeneous (max == min) yields an *exact* analytic segment — vacuum and
+  saturated interiors advance up to 25× search_radius in a single
+  micro-step with zero RNG draws and zero density fetches.  The reference
+  instead creeps through empty space one ``search_radius`` (and one
+  majorant-floor free-flight draw) at a time
+  (kernel.cu:1654 ``fminf(smallest_tmax, search_radius)``, :2044 1e-4
+  majorant floor).
+* Shadow transmittance is **segmented residual ratio tracking**: per
+  segment the control medium ``σ_c = σ_t·ρ·d_min`` contributes an exact
+  ``exp(-σ_c·len)`` factor and only the residual ``σ_t·ρ·(ρ(x)-d_min)`` is
+  tracked, with the deterministic weight ``1 - σ_r(x)/σ̄_r`` per event.
+  This is the expected-value refinement of the reference's binary
+  ``Tr_spectral`` (kernel.cu:754-808): identical expectation per channel
+  (sample reuse across channels preserved), strictly lower variance, and
+  homogeneous interior segments cost no events at all.
+* Micro-steps are Python-unrolled inside one jit (not lax.fori_loop): XLA
+  lowers gathers inside loop bodies to a serialized path that is orders of
+  magnitude slower than top-level dynamic gathers.
+
+Physics follows ``__d_render_bounded_decomp`` (kernel.cu:1958-2318), with
+the DELTA / BOUNDED variants expressed as parameter degenerations of the
+same step (see config.Tracker):
 
 * segment setup      = intersectSuperVolume + local bounds + hyperion
                        schedule + decomposition control sampling
                        (kernel.cu:2017-2078)
 * march              = one null-collision event of the inner loop
                        (kernel.cu:2082-2142), spectral-tracking weights with
-                       history-aware average (Ps/Pn, kernel.cu:2106-2141)
+                       history-aware average (kernel.cu:2106-2141)
 * tracking restart   = kernel.cu:2149-2155
 * NEE                = precomputed-opacity shortcut (kernel.cu:2181-2196) or
-                       spectral shadow march ``Tr_spectral``
-                       (kernel.cu:754-808), one event per micro-step
+                       the segmented shadow march (``Tr_spectral``
+                       kernel.cu:754-808, refined as described above)
 * scatter            = HG direction sampling (kernel.cu:2300-2303)
 
 Every lane owns an independent RNG stream keyed by (pixel, sample)
 (src/sampler.h), and a lane consumes a draw only when the corresponding
-reference code path would — so per-sample random sequences are *identical*
-to the reference's logical streams regardless of pool size, step batching,
-or device sharding.
+event happens — per-sample random sequences are *identical* regardless of
+pool size, step batching, or device sharding.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,50 +81,59 @@ from . import camera as cammod
 from . import film as filmmod
 from .scene import Scene
 
-# Lane phases.
+# Lane phases.  A lane is either setting up a segment (path or shadow,
+# selected by ``shadow``), marching inside one, or done.
 NEW_SEGMENT = 0
 MARCH = 1
-SHADOW = 2
 DONE = 3
 
 
 @struct.dataclass
 class PathState:
-    """SoA state for a pool of N lanes."""
+    """SoA state for a pool of N lanes.
 
-    # ray + path
-    o: jnp.ndarray            # (N,3)
-    d: jnp.ndarray            # (N,3)
+    The segment registers are shared between path marching and shadow
+    marching (they are dead across the transition):
+
+    ===========  ==============================  ===========================
+    register     path mode                       shadow mode
+    ===========  ==============================  ===========================
+    dist         march distance from o along d   march distance from o
+                                                 along sun_dir
+    t_max        segment end                     segment end
+    distc        decomposition control distance  total chord end (t_far of
+                                                 the sun ray)
+    inv_sigma    1/σ_r (residual free-flight)    1/σ̄_r (residual majorant)
+    d_max        local max density of segment    local *min* density of
+                                                 segment (control)
+    ===========  ==============================  ===========================
+    """
+
+    o: jnp.ndarray            # (N,3) ray origin / collision point
+    d: jnp.ndarray            # (N,3) path direction
     throughput: jnp.ndarray   # (N,3)
     radiance: jnp.ndarray     # (N,3)
     rng: jnp.ndarray          # (N,2) uint32
     pixel: jnp.ndarray        # (N,) i32 flat pixel; -1 = parked
-    sample: jnp.ndarray       # (N,) i32 sample index of this lane
+    sample: jnp.ndarray       # (N,) i32
     num_scatters: jnp.ndarray  # (N,) i32
     status: jnp.ndarray       # (N,) i32
-    # per-ray material (supports MULTI_CHANNEL later)
-    sigma_t_spec: jnp.ndarray  # (N,3)
-    sigma_s_spec: jnp.ndarray  # (N,3)
-    # segment state
-    t_far: jnp.ndarray        # (N,)
+    shadow: jnp.ndarray       # (N,) bool — lane is shadow-marching
+    # unified segment registers (see class docstring)
     dist: jnp.ndarray         # (N,)
-    distc: jnp.ndarray        # (N,) control-collision distance
+    t_max: jnp.ndarray        # (N,)
+    inv_sigma: jnp.ndarray    # (N,)
+    inv_sigma_t: jnp.ndarray  # (N,) 1/σt' for event weights (path mode)
     sigma_t_prime: jnp.ndarray  # (N,)
-    inv_sigma_t: jnp.ndarray  # (N,)
-    inv_sigma: jnp.ndarray    # (N,) residual (distance-sampling) 1/σ
-    sigma_c: jnp.ndarray      # (N,) control coefficient
+    distc: jnp.ndarray        # (N,)
+    sigma_c: jnp.ndarray      # (N,) control coefficient (path mode)
     d_max: jnp.ndarray        # (N,)
-    g_cur: jnp.ndarray        # (N,) phase g for this scatter order
-    density_prime: jnp.ndarray  # (N,)
-    # shadow state
+    g_cur: jnp.ndarray        # (N,) phase g of this scatter order
+    density_prime: jnp.ndarray  # (N,) hyperion-reduced density scale
+    # NEE registers
     nee_coeff: jnp.ndarray    # (N,3) sun_power * T * phase
-    sh_dist: jnp.ndarray      # (N,)
-    sh_maxt: jnp.ndarray      # (N,)
-    sh_inv_sigma: jnp.ndarray  # (N,)
-    sh_rho: jnp.ndarray       # (N,) density_prime at NEE order
-    sh_term: jnp.ndarray      # (N,3) termination flags (0/1)
-    # work queue (shape (1,) so a device-sharded pool can carry one queue
-    # cursor per device under shard_map)
+    sh_tr: jnp.ndarray        # (N,3) running shadow transmittance
+    # work queue; shape (1,) so sharded pools carry one cursor per device
     next_item: jnp.ndarray    # (1,) i32
     total_items: jnp.ndarray  # (1,) i32
 
@@ -109,17 +146,15 @@ def init_state(pool: int) -> PathState:
         rng=jnp.zeros((pool, 2), jnp.uint32),
         pixel=jnp.full((pool,), -1, jnp.int32), sample=zi(pool),
         num_scatters=zi(pool), status=jnp.full((pool,), DONE, jnp.int32),
-        sigma_t_spec=z(pool, 3), sigma_s_spec=z(pool, 3),
-        t_far=z(pool), dist=z(pool), distc=z(pool), sigma_t_prime=z(pool),
-        inv_sigma_t=z(pool), inv_sigma=z(pool), sigma_c=z(pool),
-        d_max=z(pool), g_cur=z(pool), density_prime=z(pool),
-        nee_coeff=z(pool, 3), sh_dist=z(pool), sh_maxt=z(pool),
-        sh_inv_sigma=z(pool), sh_rho=z(pool), sh_term=z(pool, 3),
+        shadow=jnp.zeros((pool,), bool),
+        dist=z(pool), t_max=z(pool), inv_sigma=z(pool), inv_sigma_t=z(pool),
+        sigma_t_prime=z(pool), distc=z(pool), sigma_c=z(pool), d_max=z(pool),
+        g_cur=z(pool), density_prime=z(pool),
+        nee_coeff=z(pool, 3), sh_tr=z(pool, 3),
         next_item=zi(1), total_items=zi(1))
 
 
 def _w(mask, a, b):
-    """where() broadcasting a (N,) mask against (N,...) operands."""
     m = mask
     while m.ndim < a.ndim:
         m = m[..., None]
@@ -133,8 +168,7 @@ def _draw(state_rng, mask):
 
 
 def _hyperion(num_scatters, g0, density):
-    """Disney-Hyperion reduced scattering schedule (kernel.cu:2039-2043):
-    s = clamp((n-5)/15), g' = (1-s)g, ρ' = ((1-s) + s(1-g))·ρ."""
+    """Disney-Hyperion reduced scattering (kernel.cu:2039-2043)."""
     s = jnp.clip((num_scatters.astype(jnp.float32) - 5.0)
                  * jnp.float32(0.066666666666666666667), 0.0, 1.0)
     g = (1.0 - s) * g0
@@ -143,27 +177,25 @@ def _hyperion(num_scatters, g0, density):
 
 
 def _sample_density(scene: Scene, pos, linear: bool):
-    """vol_sigma_t's raw grid fetch (kernel.cu:682-694), without the
-    density scale."""
+    """vol_sigma_t's raw grid fetch (kernel.cu:682-694), unscaled."""
     return gridmod.sample_world(scene.density, pos, linear=linear)
 
 
 def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
                  width: int, height: int):
-    """Build the jitted micro-step for a static (settings, resolution).
+    """Build the jitted micro-step/launch for static (settings, resolution).
 
-    The returned function advances (state, film) by one event per lane:
-      retire/spawn → segment setup → march (+NEE prep) → shadow (+scatter).
+    The step advances every lane one event:
+      [retire/spawn] → segment setup (path | shadow) → unified march.
     """
     linear = settings.filter_mode == FilterMode.LINEAR
+    op_linear = settings.opacity_filter == FilterMode.LINEAR
     use_decomp = settings.tracker == Tracker.DECOMP
     local_bounds = settings.tracker != Tracker.DELTA
-    search_radius = (settings.search_radius if local_bounds else 1e30)
     npix = width * height
 
     def spawn(scene: Scene, st: PathState) -> PathState:
-        """Retire finished lanes into nothing (film add happens in retire)
-        and pull new (pixel, sample) work items."""
+        """Pull new (pixel, sample) work items into retired lanes."""
         can = st.status == DONE
         rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
         item = st.next_item[0] + rank
@@ -179,9 +211,6 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         new_rng = rngmod.init(px, py, sample)
         o, d = cammod.generate_rays(cam, width, height, px, py)
 
-        sigma_t_spec = scene.mat.sigma_t[None, :] * jnp.ones_like(st.sigma_t_spec)
-        sigma_s_spec = sigma_t_spec * scene.mat.albedo[None, :]
-
         return st.replace(
             o=_w(ok, o, st.o), d=_w(ok, d, st.d),
             throughput=_w(ok, jnp.ones_like(st.throughput), st.throughput),
@@ -191,11 +220,12 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             sample=jnp.where(ok, sample, st.sample),
             num_scatters=jnp.where(ok, 0, st.num_scatters),
             status=jnp.where(ok, NEW_SEGMENT, st.status),
-            sigma_t_spec=_w(ok, sigma_t_spec, st.sigma_t_spec),
-            sigma_s_spec=_w(ok, sigma_s_spec, st.sigma_s_spec),
+            shadow=jnp.where(ok, False, st.shadow),
             next_item=st.next_item + n_spawned)
 
     def retire(scene: Scene, st: PathState, film: filmmod.Film):
+        """Accumulate finished samples (kernel.cu:2306-2317: radiance
+        clamped ≥0, × brightness, heat = num_scatters)."""
         flush = (st.status == DONE) & (st.pixel >= 0)
         rgb = jnp.maximum(st.radiance, 0.0) * scene.mat.brightness
         val = jnp.concatenate(
@@ -204,38 +234,79 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         st = st.replace(pixel=jnp.where(flush, -1, st.pixel))
         return st, film
 
-    def segment_setup(scene: Scene, st: PathState) -> PathState:
-        m = st.status == NEW_SEGMENT
-        hit, t_near, t_far = aabb.intersect_supervolume(
-            st.o, st.d, scene.density.box_min, scene.density.box_max,
-            search_radius)
+    def do_scatter(st: PathState, m) -> PathState:
+        """HG direction sampling + depth check (kernel.cu:2300-2304; loop
+        condition :2015).  Also exits shadow mode."""
+        rng2, u0 = _draw(st.rng, m)
+        rng2, u1 = _draw(rng2, m)
+        new_d = phasemod.hg_sample(st.g_cur, st.d, u0, u1)
+        deep = st.num_scatters >= settings.max_depth
+        return st.replace(
+            rng=rng2,
+            d=_w(m, new_d, st.d),
+            shadow=jnp.where(m, False, st.shadow),
+            status=jnp.where(m, jnp.where(deep, DONE, NEW_SEGMENT), st.status))
 
-        # miss → escape radiance + done (kernel.cu:2024-2032)
-        miss = m & ~hit
+    def segment_setup(scene: Scene, st: PathState) -> PathState:
+        """Path: intersect + bounds + hyperion + decomposition control
+        (kernel.cu:2017-2078), with multiscale analytic segments.
+        Shadow: next transmittance segment (control factor applied
+        analytically; residual majorant set up for the march)."""
+        setup = st.status == NEW_SEGMENT
+        p_setup = setup & ~st.shadow
+        s_setup = setup & st.shadow if settings.sun_light else \
+            jnp.zeros_like(setup)
+
+        hit, t_near, t_far_box = aabb.intersect_box(
+            st.o, st.d, scene.density.box_min, scene.density.box_max)
+
+        # path miss → escape radiance + done (kernel.cu:2024-2032)
+        miss = p_setup & ~hit
         bg = sunmod.background(scene.envmap.image, st.d, st.num_scatters,
                                scene.sun_dir, scene.sun_power_original,
                                settings.sun_light)
         radiance = _w(miss, st.radiance + bg * st.throughput, st.radiance)
         status = jnp.where(miss, DONE, st.status)
+        pseg = p_setup & hit
 
-        seg = m & hit
-        entry = st.o + st.d * t_near[:, None]
+        # ---- unified multiscale bound fetch (one coarse row per lane)
+        radii = scene.bound_radii
         if local_bounds:
-            bound = gridmod.sample_world(scene.bound, entry, linear=False)
-            d_max = jnp.maximum(1e-4, bound[..., 0])
-            d_min = bound[..., 1]
+            pos_b = _w(st.shadow,
+                       st.o + scene.sun_dir[None, :] * st.dist[:, None],
+                       st.o + st.d * t_near[:, None])
+            bnd = gridmod.sample_world(scene.bound, pos_b, linear=False)
+            d_max = bnd[..., 0]
+            d_min = bnd[..., 1]
+            seg_len = jnp.full_like(t_near, radii[0])
+            for k in range(1, len(radii)):
+                homog = bnd[..., 2 * k] == bnd[..., 2 * k + 1]
+                d_max = jnp.where(homog, bnd[..., 2 * k], d_max)
+                d_min = jnp.where(homog, bnd[..., 2 * k + 1], d_min)
+                seg_len = jnp.where(homog, radii[k], seg_len)
         else:
             d_max = jnp.ones_like(t_near)
             d_min = jnp.zeros_like(t_near)
+            seg_len = jnp.full_like(t_near, 1e30)
 
+        # ================= path segment =================
+        t_far = jnp.minimum(t_far_box, t_near + seg_len)
+        # exact vacuum leap: Tr ≡ 1 across the segment, no draw, no march
+        # (replaces the reference's 1e-4-majorant creep, kernel.cu:2044)
+        vacuum = pseg & (d_max <= 0.0) if local_bounds else \
+            jnp.zeros_like(pseg)
+        o = _w(vacuum, st.o + st.d * t_far[:, None], st.o)
+        act = pseg & ~vacuum
+
+        d_max_f = jnp.maximum(1e-4, d_max)  # reference floor (kernel.cu:1658)
         g_cur, density_prime = _hyperion(st.num_scatters, scene.mat.g,
                                          scene.mat.density)
-        max_sigma_t = vm.max_of(st.sigma_t_spec)
-        min_sigma_t = vm.min_of(st.sigma_t_spec)
-        sigma_t_prime = max_sigma_t * density_prime * d_max
+        max_sigma_t = jnp.max(scene.mat.sigma_t)
+        min_sigma_t = jnp.min(scene.mat.sigma_t)
+        sigma_t_prime = max_sigma_t * density_prime * d_max_f
 
         if use_decomp:
-            dm = seg & (d_min > 0.0)
+            dm = act & (d_min > 0.0)
             rng2, u = _draw(st.rng, dm)
             sigma_c = min_sigma_t * density_prime * d_min
             distc = t_near - jnp.log(u) / jnp.maximum(sigma_c, 1e-20)
@@ -249,31 +320,57 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             sigma_c = jnp.zeros_like(t_near)
             inv_sigma = 1.0 / sigma_t_prime
 
-        return st.replace(
+        st = st.replace(
+            o=o,
             radiance=radiance,
-            status=jnp.where(seg, MARCH, status),
+            status=jnp.where(act, MARCH, status),
             rng=rng2,
-            t_far=jnp.where(seg, t_far, st.t_far),
-            dist=jnp.where(seg, t_near, st.dist),
-            distc=jnp.where(seg, distc, st.distc),
-            sigma_t_prime=jnp.where(seg, sigma_t_prime, st.sigma_t_prime),
-            inv_sigma_t=jnp.where(seg, 1.0 / sigma_t_prime, st.inv_sigma_t),
-            inv_sigma=jnp.where(seg, inv_sigma, st.inv_sigma),
-            sigma_c=jnp.where(seg, sigma_c, st.sigma_c),
-            d_max=jnp.where(seg, d_max, st.d_max),
-            g_cur=jnp.where(seg, g_cur, st.g_cur),
-            density_prime=jnp.where(seg, density_prime, st.density_prime))
+            t_max=jnp.where(act, t_far, st.t_max),
+            dist=jnp.where(act, t_near, st.dist),
+            distc=jnp.where(act, distc, st.distc),
+            sigma_t_prime=jnp.where(act, sigma_t_prime, st.sigma_t_prime),
+            inv_sigma_t=jnp.where(act, 1.0 / sigma_t_prime, st.inv_sigma_t),
+            inv_sigma=jnp.where(act, inv_sigma, st.inv_sigma),
+            sigma_c=jnp.where(act, sigma_c, st.sigma_c),
+            d_max=jnp.where(act, d_max_f, st.d_max),
+            g_cur=jnp.where(act, g_cur, st.g_cur),
+            density_prime=jnp.where(act, density_prime, st.density_prime))
 
-    def nee_and_scatter_prep(scene: Scene, st: PathState, col, pos):
-        """Shared by march (on collision): compute NEE coefficient, either
-        take the baked-opacity shortcut + scatter now, or enter SHADOW.
-        ``col`` is the collided-lane mask; ``pos`` the collision points.
-        Corresponds to kernel.cu:2161-2303."""
+        # ================= shadow segment =================
+        if settings.sun_light:
+            rho2 = st.density_prime
+            seg_end = jnp.minimum(st.distc, st.dist + seg_len)
+            dlen = jnp.maximum(seg_end - st.dist, 0.0)
+            # exact control factor exp(-σ_t·ρ·d_min·len) per channel
+            ctrl = jnp.exp(-scene.mat.sigma_t[None, :]
+                           * (rho2 * d_min * dlen)[:, None])
+            sh_tr = _w(s_setup, st.sh_tr * ctrl, st.sh_tr)
+            homog = d_max == d_min
+            s_hom = s_setup & homog
+            s_het = s_setup & ~homog
+            sigma_r_bar = jnp.maximum(
+                max_sigma_t * rho2 * (d_max - d_min), 1e-20)
+            complete = s_hom & (seg_end >= st.distc)
+            radiance2 = _w(complete, st.radiance + st.nee_coeff * sh_tr,
+                           st.radiance)
+            st = st.replace(
+                radiance=radiance2,
+                sh_tr=sh_tr,
+                dist=jnp.where(s_hom, seg_end, st.dist),
+                t_max=jnp.where(s_het, seg_end, st.t_max),
+                d_max=jnp.where(s_het, d_min, st.d_max),
+                inv_sigma=jnp.where(s_het, 1.0 / sigma_r_bar, st.inv_sigma),
+                status=jnp.where(s_het, MARCH, st.status))
+            st = do_scatter(st, complete)
+        return st
+
+    def nee_prep(scene: Scene, st: PathState, col, pos):
+        """On a real collision: compute the NEE coefficient; either take the
+        baked-opacity shortcut and scatter now, or enter segmented shadow
+        marching (kernel.cu:2161-2217; Tr_spectral preamble
+        kernel.cu:763-780)."""
         # post-increment hyperion (kernel.cu:2168-2178)
         _, rho2 = _hyperion(st.num_scatters, scene.mat.g, scene.mat.density)
-        max_sigma_t = vm.max_of(st.sigma_t_spec)
-        sigma_t_prime2 = max_sigma_t * rho2 * st.d_max
-        inv_sigma2 = 1.0 / sigma_t_prime2
 
         phase_val = phasemod.hg_eval_dir(st.g_cur, st.d,
                                          scene.sun_dir[None, :])
@@ -282,14 +379,13 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
 
         if settings.sun_light and settings.precompute_opacity:
             shortcut = col & (st.sample > 10) & (st.num_scatters > 20)
-            od = gridmod.sample_world(scene.opacity, pos, linear=True)
-            a = jnp.exp(-st.sigma_t_spec * (rho2 * od)[:, None])
+            od = gridmod.sample_world(scene.opacity, pos, linear=op_linear)
+            a = jnp.exp(-scene.mat.sigma_t[None, :] * (rho2 * od)[:, None])
             radiance = _w(shortcut, st.radiance + nee_coeff * a, st.radiance)
         else:
             shortcut = jnp.zeros_like(col)
             radiance = st.radiance
 
-        # shadow-ray setup (Tr_spectral preamble, kernel.cu:763-780)
         need_shadow = col & ~shortcut
         if settings.sun_light:
             sh_hit, sh_tn, sh_tf = aabb.intersect_box(
@@ -299,63 +395,65 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             radiance = _w(sh_miss, radiance + nee_coeff, radiance)
             go_shadow = need_shadow & sh_hit
         else:
-            sh_tn = sh_tf = jnp.zeros_like(st.sh_dist)
+            sh_tn = sh_tf = jnp.zeros_like(st.dist)
             sh_miss = need_shadow
             go_shadow = jnp.zeros_like(col)
 
-        # lanes that skip the shadow march scatter immediately
         scatter_now = col & (shortcut | sh_miss)
-        st = st.replace(radiance=radiance,
-                        o=_w(col, pos, st.o),
-                        nee_coeff=_w(go_shadow, nee_coeff, st.nee_coeff),
-                        sh_dist=jnp.where(go_shadow, sh_tn, st.sh_dist),
-                        sh_maxt=jnp.where(go_shadow, sh_tf, st.sh_maxt),
-                        sh_inv_sigma=jnp.where(go_shadow, inv_sigma2,
-                                               st.sh_inv_sigma),
-                        sh_rho=jnp.where(go_shadow, rho2, st.sh_rho),
-                        sh_term=_w(go_shadow, jnp.zeros_like(st.sh_term),
-                                   st.sh_term),
-                        status=jnp.where(go_shadow, SHADOW, st.status))
-        return do_scatter(st, scatter_now)
-
-    def do_scatter(st: PathState, m) -> PathState:
-        """HG direction sampling + depth check (kernel.cu:2300-2304, loop
-        condition kernel.cu:2015). Origin must already be at the collision
-        point."""
-        rng2, u0 = _draw(st.rng, m)
-        rng2, u1 = _draw(rng2, m)
-        new_d = phasemod.hg_sample(st.g_cur, st.d, u0, u1)
-        deep = st.num_scatters >= settings.max_depth
-        return st.replace(
-            rng=rng2,
-            d=_w(m, new_d, st.d),
-            status=jnp.where(m, jnp.where(deep, DONE, NEW_SEGMENT), st.status))
+        st = st.replace(
+            radiance=radiance,
+            o=_w(col, pos, st.o),
+            nee_coeff=_w(go_shadow, nee_coeff, st.nee_coeff),
+            sh_tr=_w(go_shadow, jnp.ones_like(st.sh_tr), st.sh_tr),
+            dist=jnp.where(go_shadow, sh_tn, st.dist),
+            distc=jnp.where(go_shadow, sh_tf, st.distc),
+            density_prime=jnp.where(go_shadow, rho2, st.density_prime),
+            shadow=jnp.where(go_shadow, True, st.shadow),
+            status=jnp.where(go_shadow, NEW_SEGMENT, st.status))
+        return st, scatter_now
 
     def march(scene: Scene, st: PathState) -> PathState:
+        """One unified null-collision event: path free-flight
+        (kernel.cu:2082-2142) or one shadow residual-ratio-tracking event,
+        selected per lane."""
         m = st.status == MARCH
+        path = m & ~st.shadow
+        shad = m & st.shadow
+
+        # ---- advance distance (1 draw, both modes)
         rng2, u = _draw(st.rng, m)
         dist = st.dist - jnp.log(u) * st.inv_sigma
-        brk = (dist >= st.distc) | (dist >= st.t_far)
-        through = m & brk & (jnp.minimum(st.distc, dist) >= st.t_far)
-        collide_ctrl = m & brk & ~through
 
-        pos_event = st.o + st.d * dist[:, None]
-        pos_ctrl = st.o + st.d * st.distc[:, None]
+        # ---- boundary tests
+        brk_path = path & ((dist >= st.distc) | (dist >= st.t_max))
+        through = brk_path & (jnp.minimum(st.distc, dist) >= st.t_max)
+        collide_ctrl = brk_path & ~through
+        sh_end = shad & (dist >= st.t_max)
+        sh_complete = sh_end & (st.t_max >= st.distc)
+        ev_sh = shad & ~sh_end
 
-        # null-collision event (kernel.cu:2106-2141)
-        ev = m & ~brk
+        # ---- one density fetch serves both modes
+        march_dir = _w(st.shadow,
+                       jnp.broadcast_to(scene.sun_dir, st.d.shape), st.d)
+        pos_event = st.o + march_dir * dist[:, None]
         den = _sample_density(scene, pos_event, linear) * st.density_prime
-        sigma_t_den = st.sigma_t_spec * den[:, None] - st.sigma_c[:, None]
-        sigma_s_den = st.sigma_s_spec * den[:, None] - st.sigma_c[:, None]
+
+        # ---- second draw: path event test only (shadow weights are
+        # deterministic); consumed only by lanes with a real event
+        rng2, u2 = _draw(rng2, path & ~brk_path)
+
+        # path event: spectral-tracking weights (kernel.cu:2106-2141)
+        sigma_t_den = (scene.mat.sigma_t[None, :] * den[:, None]
+                       - st.sigma_c[:, None])
+        sigma_s_den = ((scene.mat.sigma_t * scene.mat.albedo)[None, :]
+                       * den[:, None] - st.sigma_c[:, None])
         sigma_n_den = st.sigma_t_prime[:, None] - sigma_t_den
         ps = vm.sum_of(jnp.abs(sigma_t_den * st.throughput))
         pn = vm.sum_of(jnp.abs(sigma_n_den * st.throughput))
         c = ps + pn
-        rng2, u2 = _draw(rng2, ev)
         e = u2 * c
-        real = ev & (e < ps)
-        null = ev & ~real
-
+        real = path & ~brk_path & (e < ps)
+        null = path & ~brk_path & ~real
         w_real = sigma_s_den * (st.inv_sigma_t * c
                                 / jnp.maximum(ps, 1e-30))[:, None]
         w_null = sigma_n_den * (st.inv_sigma_t * c
@@ -364,62 +462,59 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         throughput = _w(real, throughput * w_real, throughput)
         throughput = _w(null, throughput * w_null, throughput)
 
+        # shadow event: deterministic residual ratio weight
+        # w_ch = 1 - σ_r,ch(x)/σ̄_r with σ_r,ch(x) = σ_t[ch]·(ρ(x)·ρ' −
+        # ρ'·d_min); d_min is stored in the d_max register in shadow mode.
+        w_sh = 1.0 - (scene.mat.sigma_t[None, :]
+                      * (den - st.density_prime * st.d_max)[:, None]
+                      * st.inv_sigma[:, None])
+        w_sh = jnp.maximum(w_sh, 0.0)
+        sh_tr = _w(ev_sh, st.sh_tr * w_sh, st.sh_tr)
+
+        # shadow completion: add the estimate, then scatter
+        radiance = _w(sh_complete, st.radiance + st.nee_coeff * sh_tr,
+                      st.radiance)
+
         collided = real | collide_ctrl
         st = st.replace(
             rng=rng2,
-            dist=jnp.where(m, dist, st.dist),
+            dist=jnp.where(sh_end, st.t_max, jnp.where(m, dist, st.dist)),
             throughput=throughput,
-            o=_w(through, st.o + st.d * st.t_far[:, None], st.o),
-            status=jnp.where(through, NEW_SEGMENT, st.status),
+            radiance=radiance,
+            sh_tr=sh_tr,
+            o=_w(through, st.o + st.d * st.t_max[:, None], st.o),
+            status=jnp.where(through | (sh_end & ~sh_complete),
+                             NEW_SEGMENT, st.status),
             num_scatters=st.num_scatters + collided.astype(jnp.int32))
 
-        pos = _w(collide_ctrl, pos_ctrl, pos_event)
-        return nee_and_scatter_prep(scene, st, collided, pos)
-
-    def shadow(scene: Scene, st: PathState) -> PathState:
-        m = st.status == SHADOW
-        rng2, u = _draw(st.rng, m)
-        sh_dist = st.sh_dist - jnp.log(u) * st.sh_inv_sigma
-        all_term = vm.min_of(st.sh_term) > 0.5
-        done = m & ((sh_dist >= st.sh_maxt) | all_term)
-        stepm = m & ~done
-
-        pos = st.o + scene.sun_dir[None, :] * sh_dist[:, None]
-        den = _sample_density(scene, pos, linear) * st.sh_rho
-        rng2, e = _draw(rng2, stepm)
-        new_term = jnp.maximum(
-            st.sh_term,
-            (e[:, None] < st.sigma_t_spec * (den * st.sh_inv_sigma)[:, None])
-            .astype(jnp.float32))
-        sh_term = _w(stepm, new_term, st.sh_term)
-
-        a = 1.0 - st.sh_term  # flags at loop exit (kernel.cu:807)
-        radiance = _w(done, st.radiance + st.nee_coeff * a, st.radiance)
-
-        st = st.replace(rng=rng2,
-                        sh_dist=jnp.where(m, sh_dist, st.sh_dist),
-                        sh_term=sh_term,
-                        radiance=radiance)
-        return do_scatter(st, done)
+        # collision position: control break at distc, else the event point
+        # (kernel.cu:2086-2094)
+        pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
+        st, scatter_now = nee_prep(scene, st, collided, pos)
+        return do_scatter(st, scatter_now | sh_complete)
 
     def step(scene: Scene, st: PathState, film: filmmod.Film):
         st, film = retire(scene, st, film)
         st = spawn(scene, st)
         st = segment_setup(scene, st)
         st = march(scene, st)
-        st = shadow(scene, st)
         return st, film
+
+    def step_inner(scene: Scene, st: PathState) -> PathState:
+        st = segment_setup(scene, st)
+        return march(scene, st)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def launch(scene: Scene, st: PathState, film: filmmod.Film):
-        # The micro-steps are Python-unrolled rather than rolled into
-        # lax.fori_loop/scan: on TPU, XLA lowers gathers inside loop bodies
-        # to a serialized path that is orders of magnitude slower than the
-        # top-level dynamic-gather kernel (measured ~4600x on v5e).  The
-        # trilinear fetches are the hot op, so the step graph is replicated
-        # steps_per_launch times instead — same math, fast gathers.
-        for _ in range(settings.steps_per_launch):
-            st, film = step(scene, st, film)
+        # Python-unrolled (not fori_loop) — see module docstring.  Retire
+        # and spawn run every spawn_every steps: they pay a full-pool
+        # cumsum + scatter, while only ~1%% of lanes retire per step.
+        for i in range(settings.steps_per_launch):
+            if i % settings.spawn_every == 0:
+                st, film = retire(scene, st, film)
+                st = spawn(scene, st)
+            st = step_inner(scene, st)
+        st, film = retire(scene, st, film)
         return st, film
 
     return step, launch
@@ -432,8 +527,7 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
-    (volumeRender.cpp:613-641), but the wavefront retires and respawns
-    samples continuously.
+    (volumeRender.cpp:613-641), with asynchronous sample retirement.
     """
     npix = width * height
     if pool is None:

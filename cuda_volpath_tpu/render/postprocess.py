@@ -1,7 +1,18 @@
 """Output finalization: scale and gamma (reference src/volumeRender_kernel.cu
-:2333-2362 ``__scale`` / ``__gamma_correct``), as jitted XLA ops."""
+:2333-2362 ``__scale`` / ``__gamma_correct``), plus the denoiser post-pass,
+as jitted XLA ops.
+
+The denoiser replaces the reference's OptiX AI denoiser (src/denoiser.cpp
+:90-241, toggled with 'n') — OptiX does not exist on TPU, so this is an
+edge-aware à-trous wavelet filter (Dammertz et al. 2010) guided by color
+and by the heat AOV (per-pixel mean scatter count, the alpha channel of
+kernel.cu:2309-2317).  The ``blend = 1/spp`` fade-out semantics of
+denoiser.cpp:173 are preserved: as accumulation converges the output
+approaches the raw image."""
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,3 +39,57 @@ def reinhard(img: jnp.ndarray) -> jnp.ndarray:
     """Reinhard-style tonemap offered by the CPU Image class
     (src/image.cpp tonemap)."""
     return img / (1.0 + img)
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped spatial shift of (H, W, C)."""
+    h, w = x.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return x[ys][:, xs]
+
+# B3-spline 5-tap weights of the à-trous wavelet transform.
+_TAPS = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def atrous_denoise(img: jnp.ndarray, heat: jnp.ndarray,
+                   sigma_color: float = 0.25, sigma_heat: float = 4.0,
+                   iterations: int = 4) -> jnp.ndarray:
+    """Edge-aware à-trous filter of an (H, W, 3) HDR image.
+
+    ``heat`` (H, W) is the mean scatter count — a cheap geometry/feature
+    proxy for volumes (silhouettes and optical-depth discontinuities show
+    up as heat edges), standing in for the albedo/normal guides the OptiX
+    LDR model uses.
+    """
+    heat = heat[..., None]
+    out = img
+    for it in range(iterations):
+        step = 1 << it
+        acc = jnp.zeros_like(out)
+        wacc = jnp.zeros_like(out[..., :1])
+        for iy, wy in zip((-2, -1, 0, 1, 2), _TAPS):
+            for ix, wx in zip((-2, -1, 0, 1, 2), _TAPS):
+                p = _shift2d(out, iy * step, ix * step)
+                ph = _shift2d(heat, iy * step, ix * step)
+                dc = jnp.sum((p - out) ** 2, axis=-1, keepdims=True)
+                dh = (ph - heat) ** 2
+                w = (wy * wx) * jnp.exp(
+                    -dc / jnp.float32(sigma_color ** 2)
+                    - dh / jnp.float32(sigma_heat ** 2))
+                acc = acc + p * w
+                wacc = wacc + w
+        out = acc / jnp.maximum(wacc, 1e-8)
+    return out
+
+
+def denoise(img: jnp.ndarray, heat: jnp.ndarray, spp: float = 1.0,
+            **kw) -> jnp.ndarray:
+    """Denoiser entry point with the reference's 1/spp blend
+    (denoiser.cpp:173: blendFactor = 1/spp, OptiX semantics = fraction of
+    the *original* image kept — the first frame passes through and the
+    denoised share grows as accumulation proceeds)."""
+    den = atrous_denoise(img, heat, **kw)
+    blend = jnp.float32(min(1.0, 1.0 / max(float(spp), 1.0)))
+    return den * (1.0 - blend) + img * blend

@@ -75,13 +75,19 @@ MATERIAL_PRESETS = [
 @struct.dataclass
 class Scene:
     density: gridmod.Grid3D        # (Nz,Ny,Nx) uint8 or f32
-    bound: gridmod.Grid3D          # (Nz,Ny,Nx,2): [max, min]
+    # Coarse multiscale bound pyramid (ops.boundgrid.build_multiscale_bounds):
+    # (Ncz,Ncy,Ncx, 2K) channels (max_k, min_k) per scale.
+    bound: gridmod.Grid3D
     opacity: gridmod.Grid3D        # (Nz,Ny,Nx) f32 sun optical-depth cache
     envmap: envmod.Envmap
     sun_dir: jnp.ndarray           # (3,)
     sun_power: jnp.ndarray         # (3,) directional (disk-converted)
     sun_power_original: jnp.ndarray  # (3,) disk radiance for primary hits
     mat: Materials
+    # Static: world-space segment radii per bound scale (k=0 is the
+    # reference's search_radius; larger scales enable long homogeneous /
+    # vacuum segments).  Baked into the pyramid; part of the treedef.
+    bound_radii: tuple = struct.field(pytree_node=False, default=(0.05,))
 
 
 def make_scene(volume: np.ndarray,
@@ -93,27 +99,38 @@ def make_scene(volume: np.ndarray,
                box_min=None, box_max=None,
                search_radius: float = 0.05,
                quantize: bool = True,
-               opacity: Optional[np.ndarray] = None) -> Scene:
+               opacity: Optional[np.ndarray] = None,
+               bound_stride: int = 4,
+               bound_scales=(1.0, 5.0, 25.0)) -> Scene:
     """Bake a dense volume into a render-ready scene.
 
     Mirrors the ingestion path loadVdbFile → init_cuda (volumeRender.cpp:
     968-1019, kernel.cu:354-420): optional normalize-by-max uint8
     quantization, bound-grid build on the (quantized) data, aspect-derived
-    default bounding box.
+    default bounding box.  The bound grid is the TPU-native coarse
+    multiscale pyramid (see ops.boundgrid.build_multiscale_bounds).
     """
     volume = np.asarray(volume, np.float32)
     if quantize:
         data = np.asarray(gridmod.quantize_u8(volume))
     else:
         data = volume
-    from ..volume import loaders as loadersmod
-    bound = loadersmod.build_bound_grid_native(data, search_radius)
-    if bound is None:
-        bound = boundmod.build_bound_grid(data, search_radius)
+    bound = boundmod.build_multiscale_bounds(
+        data, search_radius, stride=bound_stride, scale_mults=bound_scales)
 
     density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
+    # The coarse grid pads each axis to a stride multiple; its box must map
+    # cell c exactly onto voxels [c*stride, (c+1)*stride) — extend box_max
+    # by the padded fraction so the nearest-cell lookup never skews when
+    # stride does not divide the dims.
+    nz, ny, nx = data.shape
+    pad_scale = np.array([bound.shape[2] * bound_stride / nx,
+                          bound.shape[1] * bound_stride / ny,
+                          bound.shape[0] * bound_stride / nz], np.float32)
+    bound_box_max = density.box_min + \
+        (density.box_max - density.box_min) * jnp.asarray(pad_scale)
     bound_g = gridmod.Grid3D(data=jnp.asarray(bound),
-                             box_min=density.box_min, box_max=density.box_max)
+                             box_min=density.box_min, box_max=bound_box_max)
     if opacity is None:
         opacity = np.zeros_like(volume, np.float32)
     opacity_g = gridmod.Grid3D(data=jnp.asarray(opacity, jnp.float32),
@@ -127,4 +144,6 @@ def make_scene(volume: np.ndarray,
                  sun_dir=jnp.asarray(sun_dir, jnp.float32),
                  sun_power=jnp.asarray(sun_power, jnp.float32),
                  sun_power_original=jnp.asarray(spo, jnp.float32),
-                 mat=mat)
+                 mat=mat,
+                 bound_radii=tuple(float(search_radius * m)
+                                   for m in bound_scales))

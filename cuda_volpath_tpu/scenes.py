@@ -41,7 +41,7 @@ def _cached_julia(n: int) -> np.ndarray:
 
 def flagship(n: int = 256, param: Param | None = None,
              sun_x: float = 0.5, sun_y: float = 0.2,
-             bake_opacity: bool = True, opacity_dt: float = 0.002,
+             bake_opacity: bool = True, opacity_dt: float = 0.004,
              search_radius: float = 0.05):
     """Julia-cloud + sunsky benchmark scene.
 

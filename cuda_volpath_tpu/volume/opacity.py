@@ -5,12 +5,19 @@ the NEE shortcut cache used once accumulation has warmed up (reference
 ``_precompute_opacity`` kernel, src/volumeRender_kernel.cu:483-553: dt =
 0.001 fixed-step march; used at :2181-2196 when spp>10 && scatters>20).
 
-On TPU this is a single jitted whole-grid op: every voxel marches in
-lockstep with a bounded ``fori_loop`` of masked trilinear fetches.  The bake
-re-runs whenever the sun moves (volumeRender.cpp:335-344).
+TPU-native structure: the march is Python-unrolled in fixed-size t-chunks
+over the *whole* grid per jitted call (gathers inside ``lax.fori_loop``
+bodies lower to a serialized path that is orders of magnitude slower than
+top-level gathers — same rule as the integrator's micro-steps).  Point
+sampling matches the reference default (the bake samples through
+``density_tex.sample_w`` under the global ``linear_interp = false``,
+kernel.cu:351, 518).  The bake re-runs whenever the sun moves
+(volumeRender.cpp:335-344).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +30,7 @@ DT = 0.001  # kernel.cu:499
 
 
 def bake(density: gridmod.Grid3D, light_dir, dt: float = DT,
-         z_chunk: int = 16) -> jnp.ndarray:
+         steps_per_call: int = 8, linear: bool = False) -> jnp.ndarray:
     """Returns opacity grid data (Nz, Ny, Nx) float32.
 
     For each voxel center: intersect the volume box toward the sun, then
@@ -39,28 +46,37 @@ def bake(density: gridmod.Grid3D, light_dir, dt: float = DT,
     max_steps = int(np.ceil(diag / dt)) + 1
 
     @jax.jit
-    def slab(k0):
-        k = k0 + jnp.arange(z_chunk)
+    def setup():
+        k = jnp.arange(nz)
         j = jnp.arange(ny)
         i = jnp.arange(nx)
         kk, jj, ii = jnp.meshgrid(k, j, i, indexing="ij")
-        start = gridmod.voxel_center_world(density, ii, jj, kk)
+        start = gridmod.voxel_center_world(
+            density, ii.reshape(-1), jj.reshape(-1), kk.reshape(-1))
         d = jnp.broadcast_to(light_dir, start.shape)
         hit, tn, tf = aabb.intersect_box(start, d, density.box_min,
                                          density.box_max)
+        return start, jnp.where(hit, tn, 0.0), jnp.where(hit, tf, -1.0)
 
-        def body(step, acc):
-            t = tn + step * jnp.float32(dt)
-            live = hit & (t < tf)
-            pos = start + d * t[..., None]
-            val = gridmod.sample_world(density, pos, linear=True)
-            return acc + jnp.where(live, val, 0.0)
+    start, tn, tf = setup()
 
-        acc = jax.lax.fori_loop(0, max_steps, body,
-                                jnp.zeros(start.shape[:-1], jnp.float32))
-        return acc * jnp.float32(dt)
+    # start/tn/tf are arguments, not closures: closed-over arrays embed as
+    # HLO constants and the 200MB program blows past upload limits.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(acc, s0, start, tn, tf, data):
+        g = density.replace(data=data)
+        for u in range(steps_per_call):
+            t = tn + (s0 + jnp.float32(u)) * jnp.float32(dt)
+            live = t < tf
+            pos = start + light_dir[None, :] * t[:, None]
+            val = gridmod.sample_world(g, pos, linear=linear)
+            acc = acc + jnp.where(live, val, 0.0)
+        return acc
 
-    out = np.zeros((nz + (-nz) % z_chunk, ny, nx), np.float32)
-    for k0 in range(0, nz, z_chunk):
-        out[k0:k0 + z_chunk] = np.asarray(slab(jnp.int32(k0)))
-    return jnp.asarray(out[:nz])
+    acc = jnp.zeros((nx * ny * nz,), jnp.float32)
+    for s0 in range(0, max_steps, steps_per_call):
+        acc = chunk(acc, jnp.float32(s0), start, tn, tf, density.data)
+        if s0 % (steps_per_call * 32) == 0:
+            acc.block_until_ready()
+    acc.block_until_ready()
+    return (acc * jnp.float32(dt)).reshape(nz, ny, nx)

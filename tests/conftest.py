@@ -19,6 +19,15 @@ import jax  # noqa: E402
 # the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# The unrolled wavefront launch is a large graph (~60 s cold compile on
+# XLA-CPU per distinct RenderSettings); a persistent compilation cache makes
+# repeat test runs fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "xla"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -38,6 +38,39 @@ def test_bounds_bracket_density(rng_np):
     assert (b[..., 1] <= vol).all()
 
 
+@pytest.mark.parametrize("shape,stride", [((16, 16, 16), 4), ((10, 13, 9), 4),
+                                          ((12, 12, 12), 3)])
+def test_multiscale_bounds_conservative(rng_np, shape, stride):
+    """Every (max_k, min_k) channel pair must bracket the density over the
+    exact reachable window: cell block dilated by r_vox_k (+1 filter
+    support) voxels."""
+    vol = (rng_np.random(shape) * 255).astype(np.uint8)
+    sr, mults = 0.15, (1.0, 3.0)
+    b = boundgrid.build_multiscale_bounds(vol, sr, stride=stride,
+                                          scale_mults=mults)
+    nz, ny, nx = shape
+    for k, mult in enumerate(mults):
+        r = boundgrid.radius_in_voxels(nx, sr * mult) + 1
+        for cz in range(b.shape[0]):
+            for cy in range(b.shape[1]):
+                for cx in range(b.shape[2]):
+                    z0, y0, x0 = cz * stride, cy * stride, cx * stride
+                    w = vol[max(0, z0 - r):z0 + stride + r,
+                            max(0, y0 - r):y0 + stride + r,
+                            max(0, x0 - r):x0 + stride + r]
+                    if w.size == 0:  # padded edge cell beyond the volume
+                        continue
+                    assert b[cz, cy, cx, 2 * k] >= w.max()
+                    assert b[cz, cy, cx, 2 * k + 1] <= w.min()
+
+
+def test_multiscale_homog_detects_constant():
+    vol = np.full((16, 16, 16), 77, np.uint8)
+    b = boundgrid.build_multiscale_bounds(vol, 0.05, stride=4,
+                                          scale_mults=(1.0, 5.0, 25.0))
+    assert (b[..., 0::2] == 77).all() and (b[..., 1::2] == 77).all()
+
+
 def test_opacity_bake_constant_volume():
     """Constant density 1: opacity ≈ distance to box exit toward the sun."""
     n = 12

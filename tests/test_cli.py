@@ -1,0 +1,41 @@
+"""Render-job CLI smoke test (apps.render_cli)."""
+
+import numpy as np
+
+from cuda_volpath_tpu.apps import render_cli
+from cuda_volpath_tpu.io import ppm, hdr
+
+
+def test_cli_blob_render(tmp_path):
+    out = tmp_path / "out.ppm"
+    heat = tmp_path / "heat.ppm"
+    ckpt = tmp_path / "film.npz"
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "2",
+        "--density", "20", "--steps-per-launch", "4",
+        "--pool", "256", "--denoise",
+        "-o", str(out), "--heat", str(heat), "--checkpoint", str(ckpt)])
+    assert rc == 0
+    img = ppm.read_ppm(str(out))
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+    himg = hdr.read_hdr(str(out.with_suffix(".hdr")))
+    assert himg.shape == (16, 16, 3)
+    assert ckpt.exists()
+
+    # resume doubles accumulated spp
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "2",
+        "--density", "20", "--steps-per-launch", "4",
+        "--pool", "256", "-o", str(out), "--checkpoint", str(ckpt)])
+    assert rc == 0
+    from cuda_volpath_tpu.render import film as filmmod
+    f = filmmod.from_numpy_state(
+        {k: v for k, v in np.load(ckpt).items()})
+    assert float(np.asarray(filmmod.spp(f)).min()) == 4.0
+
+
+def test_argparser_covers_reference_params():
+    p = render_cli.build_argparser()
+    a = p.parse_args(["--preset", "3", "--tracker", "delta",
+                      "--filter", "linear", "--no-sun"])
+    assert a.preset == 3 and a.tracker == "delta"

@@ -53,7 +53,7 @@ def test_constant_slab_transmittance(tracker):
                                      sigma_t=sigma_t, g=0.0))
     scene = make_scene(vol, mat, envmap=envmod.constant(BG), quantize=False)
     settings = RenderSettings(tracker=tracker, sun_light=False,
-                              precompute_opacity=False, steps_per_launch=128)
+                              precompute_opacity=False, steps_per_launch=4)
     w = h = 8
     spp = 96
     fm = _render(scene, settings, w, h, spp, pool=4096)
@@ -84,7 +84,7 @@ def test_trackers_agree(quantize):
     mat = materials_from_param(Param(density=20.0, albedo=(0.95, 0.9, 0.85),
                                      sigma_t=(1.0, 0.8, 0.6), g=0.3))
     settings = dict(sun_light=True, precompute_opacity=False,
-                    steps_per_launch=128)
+                    steps_per_launch=4)
     means = {}
     for tr in [Tracker.DELTA, Tracker.BOUNDED, Tracker.DECOMP]:
         scene = make_scene(vol, mat, envmap=envmod.constant(BG),
@@ -107,7 +107,7 @@ def test_deterministic_and_pool_invariant():
     scene = make_scene(vol, mat, envmap=envmod.constant(BG),
                        sun_dir=(0.0, 1.0, 0.0), sun_power=(1.0, 1.0, 1.0),
                        sun_power_original=(10.0, 10.0, 10.0))
-    settings = RenderSettings(precompute_opacity=False, steps_per_launch=64)
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
     f1 = _render(scene, settings, w=8, h=8, spp=4, pool=256)
     f2 = _render(scene, settings, w=8, h=8, spp=4, pool=256)
     f3 = _render(scene, settings, w=8, h=8, spp=4, pool=1024)
@@ -122,7 +122,7 @@ def test_heat_channel_and_counts():
     mat = materials_from_param(Param(density=10.0))
     scene = make_scene(vol, mat, envmap=envmod.constant(BG))
     settings = RenderSettings(sun_light=False, precompute_opacity=False,
-                              steps_per_launch=64)
+                              steps_per_launch=4)
     fm = _render(scene, settings, w=8, h=8, spp=3, pool=512)
     assert np.asarray(filmmod.spp(fm)).min() == 3
     ht = np.asarray(filmmod.heat(fm))

@@ -18,7 +18,7 @@ def test_eight_device_mesh_available():
 
 def test_sharded_render_matches_single_device():
     scene, cam, _ = scenes.gaussian_blob(16, Param(density=10.0, g=0.4))
-    settings = RenderSettings(precompute_opacity=False, steps_per_launch=48)
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
     w = h = 8
     spp = 8
 
@@ -35,7 +35,7 @@ def test_sharded_render_matches_single_device():
 
 def test_sharded_device_count_invariance():
     scene, cam, _ = scenes.gaussian_blob(16, Param(density=10.0, g=0.4))
-    settings = RenderSettings(precompute_opacity=False, steps_per_launch=48)
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
     w = h = 8
     f2 = shard.render_sharded(scene, cam, settings, w, h, 8,
                               mesh=shard.make_mesh(2), pool_per_device=256)

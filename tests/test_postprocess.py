@@ -1,0 +1,53 @@
+"""Post-process: gamma/scale/tonemap and the à-trous denoiser."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cuda_volpath_tpu.render import postprocess as pp
+
+
+def test_gamma_matches_reference_semantics():
+    img = jnp.asarray([[[0.25, 0.5, 1.0]]], jnp.float32)
+    out = np.asarray(pp.gamma_correct(img, s=1.0, gamma=2.2))
+    np.testing.assert_allclose(out, np.array([[[0.25, 0.5, 1.0]]]) ** (1 / 2.2),
+                               rtol=1e-6)
+
+
+def test_scale_is_linear():
+    img = jnp.ones((2, 2, 3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pp.scale(img, 0.25)), 0.25)
+
+
+def test_denoiser_reduces_noise_preserves_mean(rng_np):
+    h = w = 32
+    clean = np.full((h, w, 3), 0.5, np.float32)
+    noisy = clean + rng_np.normal(0, 0.1, (h, w, 3)).astype(np.float32)
+    heat = jnp.zeros((h, w), jnp.float32)
+    den = np.asarray(pp.atrous_denoise(jnp.asarray(noisy), heat))
+    assert den.std() < noisy.std() * 0.35
+    np.testing.assert_allclose(den.mean(), noisy.mean(), atol=0.01)
+
+
+def test_denoiser_preserves_heat_edges(rng_np):
+    """A sharp edge marked by the heat guide must survive filtering."""
+    h = w = 32
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, w // 2:] = 1.0
+    heat = np.zeros((h, w), np.float32)
+    heat[:, w // 2:] = 100.0
+    den = np.asarray(pp.atrous_denoise(
+        jnp.asarray(img), jnp.asarray(heat), sigma_color=1e3))
+    # without the heat guide sigma_color=1e3 would smear the edge
+    assert abs(den[:, w // 2 - 2].mean() - 0.0) < 0.05
+    assert abs(den[:, w // 2 + 2].mean() - 1.0) < 0.05
+
+
+def test_denoise_blend_fades_with_spp(rng_np):
+    h = w = 16
+    noisy = rng_np.random((h, w, 3)).astype(np.float32)
+    heat = jnp.zeros((h, w), jnp.float32)
+    out1 = np.asarray(pp.denoise(jnp.asarray(noisy), heat, spp=1.0))
+    np.testing.assert_allclose(out1, noisy, atol=1e-6)  # blend=1: original
+    out100 = np.asarray(pp.denoise(jnp.asarray(noisy), heat, spp=100.0))
+    den = np.asarray(pp.atrous_denoise(jnp.asarray(noisy), heat))
+    np.testing.assert_allclose(out100, 0.99 * den + 0.01 * noisy, atol=1e-5)
