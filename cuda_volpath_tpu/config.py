@@ -130,7 +130,7 @@ class RenderSettings:
     # Wavefront execution knobs (TPU-specific; no reference equivalent).
     # Number of state-machine micro-steps unrolled into one jitted call
     # (unrolled, not lax.fori_loop — see integrator.make_step_fn).
-    steps_per_launch: int = 32
+    steps_per_launch: int = 64
     # Retire/spawn cadence in micro-steps: the work-queue cumsum + film
     # scatter are whole-pool ops, amortized over several march steps.
     spawn_every: int = 8

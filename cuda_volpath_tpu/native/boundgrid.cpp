@@ -120,9 +120,125 @@ void build(const T* vol, long nx, long ny, long nz, long r, T* out2) {
     }
 }
 
+// --- coarse multiscale pyramid + leap channel ------------------------------
+//
+// Mirrors ops/boundgrid.py::build_multiscale_bounds exactly (which remains
+// the oracle): block (min,max) reduce by `stride`, then per-scale Chebyshev
+// dilation by rc[s] coarse cells, plus the power-of-two distance-to-solid
+// leap code as the final channel.
+
+template <typename T, bool kMax>
+void dilate3(std::vector<T>& a, long ncx, long ncy, long ncz, long r,
+             std::vector<T>& tmp) {
+    if (r <= 0) return;
+    const long ncxy = ncx * ncy;
+    struct Axis { long n, stride, nrows; };
+    Axis axes[3] = {{ncx, 1, ncy * ncz}, {ncy, ncx, ncx * ncz},
+                    {ncz, ncxy, ncxy}};
+    const long w = 2 * r + 1;
+    for (int ax = 0; ax < 3; ++ax) {
+        const long n = axes[ax].n, stride = axes[ax].stride;
+        const long padded = ((n + r + w - 1) / w) * w;
+#pragma omp parallel
+        {
+            std::vector<T> fwd(padded), bwd(padded);
+#pragma omp for
+            for (long row = 0; row < axes[ax].nrows; ++row) {
+                long base;
+                if (ax == 0) {
+                    base = (row % ncy) * ncx + (row / ncy) * ncxy;
+                } else if (ax == 1) {
+                    base = (row % ncx) + (row / ncx) * ncxy;
+                } else {
+                    base = row;
+                }
+                sweep_row<T, kMax>(a.data() + base, tmp.data() + base,
+                                   n, stride, r, fwd.data(), bwd.data());
+            }
+        }
+        a.swap(tmp);
+    }
+}
+
+template <typename T>
+void build_ms(const T* vol, long nx, long ny, long nz, long stride,
+              long nscales, const long* rcs, long leap_cap, T* out) {
+    const long ncx = (nx + stride - 1) / stride;
+    const long ncy = (ny + stride - 1) / stride;
+    const long ncz = (nz + stride - 1) / stride;
+    const long nc = ncx * ncy * ncz;
+    const long chans = 2 * nscales + 1;
+
+    std::vector<T> cmax(nc), cmin(nc);
+#pragma omp parallel for
+    for (long cz = 0; cz < ncz; ++cz) {
+        for (long cy = 0; cy < ncy; ++cy) {
+            for (long cx = 0; cx < ncx; ++cx) {
+                T mx = std::numeric_limits<T>::lowest();
+                T mn = std::numeric_limits<T>::max();
+                const long z1 = std::min(nz, (cz + 1) * stride);
+                const long y1 = std::min(ny, (cy + 1) * stride);
+                const long x1 = std::min(nx, (cx + 1) * stride);
+                for (long z = cz * stride; z < z1; ++z)
+                    for (long y = cy * stride; y < y1; ++y)
+                        for (long x = cx * stride; x < x1; ++x) {
+                            T v = vol[x + nx * (y + ny * z)];
+                            mx = std::max(mx, v);
+                            mn = std::min(mn, v);
+                        }
+                cmax[cx + ncx * (cy + ncy * cz)] = mx;
+                cmin[cx + ncx * (cy + ncy * cz)] = mn;
+            }
+        }
+    }
+
+    std::vector<T> tmp(nc), a(nc), b(nc);
+    for (long s = 0; s < nscales; ++s) {
+        a = cmax;
+        b = cmin;
+        dilate3<T, true>(a, ncx, ncy, ncz, rcs[s], tmp);
+        dilate3<T, false>(b, ncx, ncy, ncz, rcs[s], tmp);
+        for (long i = 0; i < nc; ++i) {
+            out[i * chans + 2 * s] = a[i];
+            out[i * chans + 2 * s + 1] = b[i];
+        }
+    }
+
+    // leap code: largest power-of-two Chebyshev radius with no solid inside
+    std::vector<T> occ(nc), leap(nc, T(0));
+    for (long i = 0; i < nc; ++i) occ[i] = cmax[i] > T(0) ? T(1) : T(0);
+    for (long r = 1; r <= leap_cap; r *= 2) {
+        a = occ;
+        dilate3<T, true>(a, ncx, ncy, ncz, r, tmp);
+        bool any_empty = false;
+        for (long i = 0; i < nc; ++i) {
+            if (a[i] == T(0)) {
+                leap[i] = T(std::min<long>(r, leap_cap));
+                any_empty = true;
+            }
+        }
+        if (!any_empty) break;
+    }
+    for (long i = 0; i < nc; ++i) out[i * chans + 2 * nscales] = leap[i];
+}
+
 }  // namespace
 
 extern "C" {
+
+void build_multiscale_bounds_u8(const uint8_t* vol, long nx, long ny,
+                                long nz, long stride, long nscales,
+                                const long* rcs, long leap_cap,
+                                uint8_t* out) {
+    build_ms<uint8_t>(vol, nx, ny, nz, stride, nscales, rcs, leap_cap, out);
+}
+
+void build_multiscale_bounds_f32(const float* vol, long nx, long ny,
+                                 long nz, long stride, long nscales,
+                                 const long* rcs, long leap_cap,
+                                 float* out) {
+    build_ms<float>(vol, nx, ny, nz, stride, nscales, rcs, leap_cap, out);
+}
 
 void build_bound_grid_u8(const uint8_t* vol, long nx, long ny, long nz,
                          long r, uint8_t* out2) {

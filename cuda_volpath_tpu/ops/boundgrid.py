@@ -112,7 +112,15 @@ def build_multiscale_bounds(volume: np.ndarray,
     replaces both the reference's 1e-4 majorant floor creep through empty
     space and per-event fetches inside homogeneous regions.
 
-    Shape: (ceil(Nz/s), ceil(Ny/s), ceil(Nx/s), 2 * len(scale_mults)),
+    The final channel ``2*len(scale_mults)`` is a **distance-to-solid leap
+    code**: the largest power-of-two Chebyshev radius R (in coarse cells,
+    capped at dtype max) such that every cell within R is empty.  From any
+    point in the cell, density is identically zero within
+    ``R * min_cell_edge`` world units — a sphere-tracing-style empty-space
+    leap that replaces the reference's per-``search_radius`` majorant-floor
+    creep (kernel.cu:1654, 2044) with O(log) steps.
+
+    Shape: (ceil(Nz/s), ceil(Ny/s), ceil(Nx/s), 2 * len(scale_mults) + 1),
     same dtype as the input.  Cell size follows the reference convention of
     measuring in *x*-cell units (volumeRender.cpp:1098-1101).
     """
@@ -130,6 +138,22 @@ def build_multiscale_bounds(volume: np.ndarray,
             vmax = _sliding_extrema_1d(vmax, axis, rc, "max")
             vmin = _sliding_extrema_1d(vmin, axis, rc, "min")
         chans += [vmax, vmin]
+
+    # leap code: occupancy dilated by power-of-two radii (log-doubling)
+    occ = (cmax > 0).astype(volume.dtype)
+    cap = 255 if volume.dtype == np.uint8 else int(max(cmax.shape))
+    leap = np.zeros(cmax.shape, volume.dtype)
+    r = 1
+    while r <= cap:
+        d = occ
+        for axis in (2, 1, 0):
+            d = _sliding_extrema_1d(d, axis, r, "max")
+        empty = d == 0
+        if not empty.any():
+            break
+        leap = np.where(empty, np.minimum(r, cap), leap).astype(volume.dtype)
+        r *= 2
+    chans.append(leap)
     return np.stack(chans, axis=-1)
 
 

@@ -82,10 +82,24 @@ def _dequant(v: jnp.ndarray) -> jnp.ndarray:
 
 def _flat_gather(data: jnp.ndarray, ix, iy, iz) -> jnp.ndarray:
     """Gather voxels at integer coords (already clamped). Works for both
-    single- and multi-channel grids."""
+    single- and multi-channel grids.
+
+    Single-channel grids are fetched through XLA-TPU's multi-channel
+    row-gather path: a gather of (V/4, 4) rows costs ~half a scalar
+    (V,) gather (measured ~4.2 vs 8.2 ns/element on v5e), and the in-row
+    select is cheap VPU work.  Pure layout reinterpretation — bit-identical
+    results."""
     nz, ny, nx = data.shape[:3]
     flat_idx = ix + nx * (iy + ny * iz)
     if data.ndim == 3:
+        n = nx * ny * nz
+        if n % 4 == 0:
+            rows = jnp.take(data.reshape(-1, 4), flat_idx // 4, axis=0)
+            sub = flat_idx % 4
+            return jnp.where(
+                sub == 0, rows[..., 0],
+                jnp.where(sub == 1, rows[..., 1],
+                          jnp.where(sub == 2, rows[..., 2], rows[..., 3])))
         flat = data.reshape(-1)
         return jnp.take(flat, flat_idx, axis=0)
     flat = data.reshape(-1, data.shape[-1])

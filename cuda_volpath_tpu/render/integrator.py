@@ -70,21 +70,29 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..config import RenderSettings, Tracker, FilterMode
+from ..config import (RenderSettings, Tracker, FilterMode, EnvmapMode,
+                      SpectralMode)
 from ..ops import rng as rngmod
 from ..ops import vecmath as vm
 from ..ops import aabb
 from ..ops import grid as gridmod
 from ..ops import phase as phasemod
+from ..lighting import envmap as envmod
 from ..lighting import sun as sunmod
 from . import camera as cammod
 from . import film as filmmod
 from .scene import Scene
 
 # Lane phases.  A lane is either setting up a segment (path or shadow,
-# selected by ``shadow``), marching inside one, or done.
+# selected by ``shadow``), marching inside one, waiting for the batched
+# scatter pass (SCATTER), or done.  Scattering, film accumulation, escape
+# shading and respawn are *housekeeping*: they concern ~2% of lanes per
+# step, so they run once every ``spawn_every`` micro-steps instead of
+# paying pool-wide transcendentals/scatter-adds every step (measured
+# 8.2 + 9.3 ns/lane-step on v5e when run inline).
 NEW_SEGMENT = 0
 MARCH = 1
+SCATTER = 2
 DONE = 3
 
 
@@ -119,6 +127,8 @@ class PathState:
     num_scatters: jnp.ndarray  # (N,) i32
     status: jnp.ndarray       # (N,) i32
     shadow: jnp.ndarray       # (N,) bool — lane is shadow-marching
+    esc: jnp.ndarray          # (N,) bool — escaped; background owed at
+                              # retire (the envmap fetch batches there)
     # unified segment registers (see class docstring)
     dist: jnp.ndarray         # (N,)
     t_max: jnp.ndarray        # (N,)
@@ -131,8 +141,11 @@ class PathState:
     g_cur: jnp.ndarray        # (N,) phase g of this scatter order
     density_prime: jnp.ndarray  # (N,) hyperion-reduced density scale
     # NEE registers
-    nee_coeff: jnp.ndarray    # (N,3) sun_power * T * phase
+    nee_coeff: jnp.ndarray    # (N,3) light * T * phase (sun or envmap MIS)
     sh_tr: jnp.ndarray        # (N,3) running shadow transmittance
+    # MIS registers (EnvmapMode.MIS only; dead pass-throughs otherwise)
+    shadow_dir: jnp.ndarray   # (N,3) current shadow-march direction
+    env_stage: jnp.ndarray    # (N,) bool — the envmap NEE is in flight/done
     # work queue; shape (1,) so sharded pools carry one cursor per device
     next_item: jnp.ndarray    # (1,) i32
     total_items: jnp.ndarray  # (1,) i32
@@ -146,11 +159,12 @@ def init_state(pool: int) -> PathState:
         rng=jnp.zeros((pool, 2), jnp.uint32),
         pixel=jnp.full((pool,), -1, jnp.int32), sample=zi(pool),
         num_scatters=zi(pool), status=jnp.full((pool,), DONE, jnp.int32),
-        shadow=jnp.zeros((pool,), bool),
+        shadow=jnp.zeros((pool,), bool), esc=jnp.zeros((pool,), bool),
         dist=z(pool), t_max=z(pool), inv_sigma=z(pool), inv_sigma_t=z(pool),
         sigma_t_prime=z(pool), distc=z(pool), sigma_c=z(pool), d_max=z(pool),
         g_cur=z(pool), density_prime=z(pool),
         nee_coeff=z(pool, 3), sh_tr=z(pool, 3),
+        shadow_dir=z(pool, 3), env_stage=jnp.zeros((pool,), bool),
         next_item=zi(1), total_items=zi(1))
 
 
@@ -192,7 +206,18 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
     op_linear = settings.opacity_filter == FilterMode.LINEAR
     use_decomp = settings.tracker == Tracker.DECOMP
     local_bounds = settings.tracker != Tracker.DELTA
+    use_mis = settings.envmap_mode == EnvmapMode.MIS
     npix = width * height
+
+    def mono_scene(scene: Scene) -> Scene:
+        """SpectralMode.MONO ignores Param.sigma_t and runs an achromatic
+        medium (reference ``float sigma_t = density``, kernel.cu:1328-1329);
+        with σt ≡ 1 the spectral-tracking weights reduce to plain delta
+        tracking with throughput *= albedo per real scatter."""
+        if settings.spectral != SpectralMode.MONO:
+            return scene
+        return scene.replace(mat=scene.mat.replace(
+            sigma_t=jnp.ones((3,), jnp.float32)))
 
     def spawn(scene: Scene, st: PathState) -> PathState:
         """Pull new (pixel, sample) work items into retired lanes."""
@@ -211,9 +236,22 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         new_rng = rngmod.init(px, py, sample)
         o, d = cammod.generate_rays(cam, width, height, px, py)
 
+        if settings.spectral == SpectralMode.MULTI_CHANNEL:
+            # one wavelength per sample: channel = min((1-u)*3, 2.9999998)
+            # drawn right after rng init; the sample writes channel ch
+            # scaled by 3 (kernel.cu:1319-1321, 1583-1586) — expressed here
+            # as a one-hot ×3 initial throughput through the same spectral
+            # machinery (identical expectation, max-σt majorant).
+            new_rng, u = rngmod.next_float(new_rng)
+            ch = jnp.minimum((1.0 - u) * 3.0,
+                             jnp.float32(2.9999998)).astype(jnp.int32)
+            tp = jax.nn.one_hot(ch, 3, dtype=jnp.float32) * 3.0
+        else:
+            tp = jnp.ones_like(st.throughput)
+
         return st.replace(
             o=_w(ok, o, st.o), d=_w(ok, d, st.d),
-            throughput=_w(ok, jnp.ones_like(st.throughput), st.throughput),
+            throughput=_w(ok, tp, st.throughput),
             radiance=_w(ok, jnp.zeros_like(st.radiance), st.radiance),
             rng=_w(ok, new_rng, st.rng),
             pixel=jnp.where(ok, pixel, st.pixel),
@@ -221,17 +259,32 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             num_scatters=jnp.where(ok, 0, st.num_scatters),
             status=jnp.where(ok, NEW_SEGMENT, st.status),
             shadow=jnp.where(ok, False, st.shadow),
+            esc=jnp.where(ok, False, st.esc),
+            env_stage=jnp.where(ok, False, st.env_stage),
             next_item=st.next_item + n_spawned)
 
     def retire(scene: Scene, st: PathState, film: filmmod.Film):
-        """Accumulate finished samples (kernel.cu:2306-2317: radiance
-        clamped ≥0, × brightness, heat = num_scatters)."""
+        """Shade escapes, then accumulate finished samples
+        (kernel.cu:2306-2317: radiance clamped ≥0, × brightness,
+        heat = num_scatters)."""
         flush = (st.status == DONE) & (st.pixel >= 0)
-        rgb = jnp.maximum(st.radiance, 0.0) * scene.mat.brightness
+        # deferred escape shading (kernel.cu:2024-2032) — the envmap gather
+        # runs here, at housekeeping cadence, not every micro-step
+        bg = sunmod.background(scene.envmap.image, st.d, st.num_scatters,
+                               scene.sun_dir, scene.sun_power_original,
+                               settings.sun_light)
+        if use_mis:
+            # under MIS escapes only contribute at depth 0
+            # (the #else branch of kernel.cu:2026-2031)
+            bg = _w(st.num_scatters == 0, bg, jnp.zeros_like(bg))
+        radiance = _w(flush & st.esc, st.radiance + bg * st.throughput,
+                      st.radiance)
+        rgb = jnp.maximum(radiance, 0.0) * scene.mat.brightness
         val = jnp.concatenate(
             [rgb, st.num_scatters.astype(jnp.float32)[:, None]], axis=-1)
         film = filmmod.add_samples(film, st.pixel, val, flush)
-        st = st.replace(pixel=jnp.where(flush, -1, st.pixel))
+        st = st.replace(radiance=radiance,
+                        pixel=jnp.where(flush, -1, st.pixel))
         return st, film
 
     def do_scatter(st: PathState, m) -> PathState:
@@ -245,7 +298,79 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             rng=rng2,
             d=_w(m, new_d, st.d),
             shadow=jnp.where(m, False, st.shadow),
+            env_stage=jnp.where(m, False, st.env_stage),
             status=jnp.where(m, jnp.where(deep, DONE, NEW_SEGMENT), st.status))
+
+    def env_nee_start(scene: Scene, st: PathState, m):
+        """One-sample MIS between the phase function and the envmap
+        luminance CDF (the PASSIVE_ENVMAP=0 branch, kernel.cu:2220-2297).
+
+        Returns (state, scatter_now): lanes whose MIS ray misses the box
+        (Tr=1, contribution added) or whose envmap pdf is zero scatter
+        immediately; the rest enter a second segmented shadow march along
+        the sampled direction."""
+        rng2, u_s = _draw(st.rng, m)
+        rng2, u0 = _draw(rng2, m)
+        rng2, u1 = _draw(rng2, m)
+        by_phase = u_s < 0.5
+
+        # strategy A: sample the phase function, evaluate the envmap
+        dir_p = phasemod.hg_sample(st.g_cur, st.d, u0, u1)
+        envc_p = envmod.eval_dir(scene.envmap.image, dir_p)
+        pdf_brdf = phasemod.hg_eval_dir(st.g_cur, st.d, dir_p)
+        pdf_env_v = envmod.pdf_dir(scene.envmap, envc_p)
+        # balance heuristic over strategy-weighted pdfs, / P_phase
+        w_p = pdf_brdf / jnp.maximum(0.5 * (pdf_brdf + pdf_env_v), 1e-30)
+        coeff_p = envc_p * st.throughput * w_p[:, None]
+
+        # strategy B: sample the envmap CDF, evaluate the phase
+        uu, vv, envc_e, pdf_env = envmod.sample(scene.envmap, u0, u1)
+        dir_e = envmod.uv_to_dir(uu, vv)
+        ph_e = phasemod.hg_eval_dir(st.g_cur, st.d, dir_e)
+        w_e = pdf_env / jnp.maximum(0.5 * (pdf_env + ph_e), 1e-30)
+        coeff_e = (envc_e * st.throughput
+                   * (ph_e / jnp.maximum(pdf_env, 1e-30) * w_e)[:, None])
+        # pdf_env <= 0 → zero contribution (the reference `continue`s,
+        # skipping the scatter too — kernel.cu:2266; here the lane still
+        # scatters, which only differs for zero-luminance texels)
+        coeff_e = _w(pdf_env > 0.0, coeff_e, jnp.zeros_like(coeff_e))
+
+        nee_dir = _w(by_phase, dir_p, dir_e)
+        coeff = _w(by_phase, coeff_p, coeff_e)
+
+        sh_hit, sh_tn, sh_tf = aabb.intersect_box(
+            st.o, nee_dir, scene.density.box_min, scene.density.box_max)
+        go = m & sh_hit
+        scatter_now = m & ~sh_hit
+        radiance = _w(scatter_now, st.radiance + coeff, st.radiance)
+
+        st = st.replace(
+            rng=rng2,
+            radiance=radiance,
+            nee_coeff=_w(go, coeff, st.nee_coeff),
+            sh_tr=_w(go, jnp.ones_like(st.sh_tr), st.sh_tr),
+            shadow_dir=_w(go, nee_dir, st.shadow_dir),
+            dist=jnp.where(go, sh_tn, st.dist),
+            distc=jnp.where(go, sh_tf, st.distc),
+            shadow=jnp.where(go, True, st.shadow),
+            env_stage=jnp.where(m, True, st.env_stage),
+            status=jnp.where(go, NEW_SEGMENT, st.status))
+        return st, scatter_now
+
+    def housekeeping(scene: Scene, st: PathState, film: filmmod.Film):
+        """The batched per-``spawn_every`` pass: process pending scatters
+        (under MIS the sun estimate is followed by the envmap estimate
+        before scattering), shade escapes + accumulate to film, respawn."""
+        pend = st.status == SCATTER
+        if use_mis:
+            done_env = pend & st.env_stage
+            st, sc_now = env_nee_start(scene, st, pend & ~st.env_stage)
+            st = do_scatter(st, done_env | sc_now)
+        else:
+            st = do_scatter(st, pend)
+        st, film = retire(scene, st, film)
+        st = spawn(scene, st)
+        return st, film
 
     def segment_setup(scene: Scene, st: PathState) -> PathState:
         """Path: intersect + bounds + hyperion + decomposition control
@@ -254,26 +379,28 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         analytically; residual majorant set up for the march)."""
         setup = st.status == NEW_SEGMENT
         p_setup = setup & ~st.shadow
-        s_setup = setup & st.shadow if settings.sun_light else \
+        use_shadow = settings.sun_light or use_mis
+        s_setup = setup & st.shadow if use_shadow else \
             jnp.zeros_like(setup)
 
         hit, t_near, t_far_box = aabb.intersect_box(
             st.o, st.d, scene.density.box_min, scene.density.box_max)
 
-        # path miss → escape radiance + done (kernel.cu:2024-2032)
+        # path miss → escape; the background shade is owed at retire
+        # (kernel.cu:2024-2032; see retire)
         miss = p_setup & ~hit
-        bg = sunmod.background(scene.envmap.image, st.d, st.num_scatters,
-                               scene.sun_dir, scene.sun_power_original,
-                               settings.sun_light)
-        radiance = _w(miss, st.radiance + bg * st.throughput, st.radiance)
+        radiance = st.radiance
         status = jnp.where(miss, DONE, st.status)
+        esc = jnp.where(miss, True, st.esc)
         pseg = p_setup & hit
 
         # ---- unified multiscale bound fetch (one coarse row per lane)
         radii = scene.bound_radii
+        sh_dir = st.shadow_dir if use_mis else \
+            jnp.broadcast_to(scene.sun_dir, st.d.shape)
         if local_bounds:
             pos_b = _w(st.shadow,
-                       st.o + scene.sun_dir[None, :] * st.dist[:, None],
+                       st.o + sh_dir * st.dist[:, None],
                        st.o + st.d * t_near[:, None])
             bnd = gridmod.sample_world(scene.bound, pos_b, linear=False)
             d_max = bnd[..., 0]
@@ -284,6 +411,19 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
                 d_max = jnp.where(homog, bnd[..., 2 * k], d_max)
                 d_min = jnp.where(homog, bnd[..., 2 * k + 1], d_min)
                 seg_len = jnp.where(homog, radii[k], seg_len)
+            # distance-to-solid leap: density ≡ 0 for leap_cells coarse
+            # cells (Chebyshev) around this one → extend the vacuum segment
+            # (the u8 channel comes back dequantized by 1/255)
+            nleap = len(radii) * 2
+            leap_cells = bnd[..., nleap] * (
+                255.0 if scene.bound.data.dtype == jnp.uint8 else 1.0)
+            edge = jnp.min((scene.bound.box_max - scene.bound.box_min)
+                           / jnp.asarray(scene.bound.data.shape[2::-1],
+                                         jnp.float32))
+            leap = leap_cells * edge
+            vac_leap = d_max <= 0.0
+            seg_len = jnp.where(vac_leap, jnp.maximum(seg_len, leap),
+                                seg_len)
         else:
             d_max = jnp.ones_like(t_near)
             d_min = jnp.zeros_like(t_near)
@@ -323,6 +463,7 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         st = st.replace(
             o=o,
             radiance=radiance,
+            esc=esc,
             status=jnp.where(act, MARCH, status),
             rng=rng2,
             t_max=jnp.where(act, t_far, st.t_max),
@@ -337,7 +478,7 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             density_prime=jnp.where(act, density_prime, st.density_prime))
 
         # ================= shadow segment =================
-        if settings.sun_light:
+        if use_shadow:
             rho2 = st.density_prime
             seg_end = jnp.minimum(st.distc, st.dist + seg_len)
             dlen = jnp.maximum(seg_end - st.dist, 0.0)
@@ -360,8 +501,8 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
                 t_max=jnp.where(s_het, seg_end, st.t_max),
                 d_max=jnp.where(s_het, d_min, st.d_max),
                 inv_sigma=jnp.where(s_het, 1.0 / sigma_r_bar, st.inv_sigma),
-                status=jnp.where(s_het, MARCH, st.status))
-            st = do_scatter(st, complete)
+                status=jnp.where(s_het, MARCH,
+                                 jnp.where(complete, SCATTER, st.status)))
         return st
 
     def nee_prep(scene: Scene, st: PathState, col, pos):
@@ -405,9 +546,14 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             o=_w(col, pos, st.o),
             nee_coeff=_w(go_shadow, nee_coeff, st.nee_coeff),
             sh_tr=_w(go_shadow, jnp.ones_like(st.sh_tr), st.sh_tr),
+            shadow_dir=(_w(go_shadow,
+                           jnp.broadcast_to(scene.sun_dir, st.d.shape),
+                           st.shadow_dir) if use_mis else st.shadow_dir),
             dist=jnp.where(go_shadow, sh_tn, st.dist),
             distc=jnp.where(go_shadow, sh_tf, st.distc),
-            density_prime=jnp.where(go_shadow, rho2, st.density_prime),
+            # ρ' recomputed post-increment is also what the envmap MIS
+            # transmittance uses (kernel.cu:2243-2249)
+            density_prime=jnp.where(col, rho2, st.density_prime),
             shadow=jnp.where(go_shadow, True, st.shadow),
             status=jnp.where(go_shadow, NEW_SEGMENT, st.status))
         return st, scatter_now
@@ -433,8 +579,9 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         ev_sh = shad & ~sh_end
 
         # ---- one density fetch serves both modes
-        march_dir = _w(st.shadow,
-                       jnp.broadcast_to(scene.sun_dir, st.d.shape), st.d)
+        sh_dir = st.shadow_dir if use_mis else \
+            jnp.broadcast_to(scene.sun_dir, st.d.shape)
+        march_dir = _w(st.shadow, sh_dir, st.d)
         pos_event = st.o + march_dir * dist[:, None]
         den = _sample_density(scene, pos_event, linear) * st.density_prime
 
@@ -471,6 +618,15 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         w_sh = jnp.maximum(w_sh, 0.0)
         sh_tr = _w(ev_sh, st.sh_tr * w_sh, st.sh_tr)
 
+        # dead-shadow termination: once every channel's weight is exactly 0
+        # (guaranteed on the max-σt channel whenever an event hits a voxel
+        # at the segment's d_max — e.g. any solid voxel of a binary medium)
+        # no further event can change the estimate, so stop marching.  This
+        # is the analog of binary delta tracking's first-hit exit
+        # (kernel.cu:785-788) and is exact, not Russian roulette.
+        sh_dead = ev_sh & (vm.max_of(sh_tr) <= 0.0)
+        sh_complete = sh_complete | sh_dead
+
         # shadow completion: add the estimate, then scatter
         radiance = _w(sh_complete, st.radiance + st.nee_coeff * sh_tr,
                       st.radiance)
@@ -491,11 +647,12 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         # (kernel.cu:2086-2094)
         pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
         st, scatter_now = nee_prep(scene, st, collided, pos)
-        return do_scatter(st, scatter_now | sh_complete)
+        return st.replace(status=jnp.where(scatter_now | sh_complete,
+                                           SCATTER, st.status))
 
     def step(scene: Scene, st: PathState, film: filmmod.Film):
-        st, film = retire(scene, st, film)
-        st = spawn(scene, st)
+        scene = mono_scene(scene)
+        st, film = housekeeping(scene, st, film)
         st = segment_setup(scene, st)
         st = march(scene, st)
         return st, film
@@ -506,15 +663,16 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def launch(scene: Scene, st: PathState, film: filmmod.Film):
-        # Python-unrolled (not fori_loop) — see module docstring.  Retire
-        # and spawn run every spawn_every steps: they pay a full-pool
-        # cumsum + scatter, while only ~1%% of lanes retire per step.
+        scene = mono_scene(scene)
+        # Python-unrolled (not fori_loop) — see module docstring.
+        # Housekeeping (scatter/retire/spawn) runs every spawn_every steps:
+        # those passes pay pool-wide transcendentals, a cumsum and film
+        # scatter-adds for the ~2%% of lanes that need them per step.
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
-                st, film = retire(scene, st, film)
-                st = spawn(scene, st)
+                st, film = housekeeping(scene, st, film)
             st = step_inner(scene, st)
-        st, film = retire(scene, st, film)
+        st, film = housekeeping(scene, st, film)
         return st, film
 
     return step, launch

@@ -100,7 +100,7 @@ def make_scene(volume: np.ndarray,
                search_radius: float = 0.05,
                quantize: bool = True,
                opacity: Optional[np.ndarray] = None,
-               bound_stride: int = 4,
+               bound_stride: int = 2,
                bound_scales=(1.0, 5.0, 25.0)) -> Scene:
     """Bake a dense volume into a render-ready scene.
 
@@ -115,8 +115,13 @@ def make_scene(volume: np.ndarray,
         data = np.asarray(gridmod.quantize_u8(volume))
     else:
         data = volume
-    bound = boundmod.build_multiscale_bounds(
+    from ..volume import loaders as loadersmod
+    bound = loadersmod.build_multiscale_bounds_native(
         data, search_radius, stride=bound_stride, scale_mults=bound_scales)
+    if bound is None:
+        bound = boundmod.build_multiscale_bounds(
+            data, search_radius, stride=bound_stride,
+            scale_mults=bound_scales)
 
     density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
     # The coarse grid pads each axis to a stride multiple; its box must map

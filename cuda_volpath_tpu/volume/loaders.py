@@ -101,6 +101,45 @@ def _load_vdb_native(lib: ctypes.CDLL, path: str, grid_index: int
     return out
 
 
+def build_multiscale_bounds_native(vol: np.ndarray,
+                                   search_radius: float = 0.05,
+                                   stride: int = 2,
+                                   scale_mults=(1.0, 5.0, 25.0),
+                                   filter_support: int = 1
+                                   ) -> Optional[np.ndarray]:
+    """C++/OpenMP multiscale bound pyramid + leap channel; None if the
+    native lib is not built.  Bit-identical to
+    ops.boundgrid.build_multiscale_bounds (the oracle)."""
+    lib = _load_native("libboundgrid.so")
+    if lib is None:
+        return None
+    vol = np.ascontiguousarray(vol)
+    nz, ny, nx = vol.shape
+    cell = 2.0 / nx
+    rcs = np.asarray(
+        [-(-(int(np.ceil(search_radius * m / cell)) + filter_support)
+           // stride) for m in scale_mults], np.int64)
+    ncx, ncy, ncz = (-(-nx // stride), -(-ny // stride), -(-nz // stride))
+    chans = 2 * len(scale_mults) + 1
+    out = np.empty((ncz, ncy, ncx, chans), vol.dtype)
+    L = ctypes.c_long
+    LP = ctypes.POINTER(ctypes.c_long)
+    if vol.dtype == np.uint8:
+        fn = lib.build_multiscale_bounds_u8
+        ptr_t = ctypes.POINTER(ctypes.c_uint8)
+        cap = 255
+    elif vol.dtype == np.float32:
+        fn = lib.build_multiscale_bounds_f32
+        ptr_t = ctypes.POINTER(ctypes.c_float)
+        cap = int(max(ncx, ncy, ncz))
+    else:
+        return None
+    fn.argtypes = [ptr_t, L, L, L, L, L, LP, L, ptr_t]
+    fn(vol.ctypes.data_as(ptr_t), nx, ny, nz, stride, len(scale_mults),
+       rcs.ctypes.data_as(LP), cap, out.ctypes.data_as(ptr_t))
+    return out
+
+
 def build_bound_grid_native(vol: np.ndarray, search_radius: float = 0.05
                             ) -> Optional[np.ndarray]:
     """C++/OpenMP bound grid; None if the native lib is not built."""

@@ -68,7 +68,35 @@ def test_multiscale_homog_detects_constant():
     vol = np.full((16, 16, 16), 77, np.uint8)
     b = boundgrid.build_multiscale_bounds(vol, 0.05, stride=4,
                                           scale_mults=(1.0, 5.0, 25.0))
-    assert (b[..., 0::2] == 77).all() and (b[..., 1::2] == 77).all()
+    assert b.shape[-1] == 7
+    assert (b[..., 0:6:2] == 77).all() and (b[..., 1:6:2] == 77).all()
+    assert (b[..., 6] == 0).all()  # solid everywhere: no leap
+
+
+def test_leap_channel_is_safe(rng_np):
+    """leap code v at cell c ⇒ every cell within Chebyshev distance v is
+    empty."""
+    vol = np.zeros((24, 24, 24), np.uint8)
+    vol[2:5, 3:6, 4:7] = 200
+    vol[20:22, 18:20, 1:3] = 50
+    stride = 2
+    b = boundgrid.build_multiscale_bounds(vol, 0.05, stride=stride,
+                                          scale_mults=(1.0,))
+    occ = boundgrid._block_reduce(vol, stride, "max") > 0
+    leap = b[..., 2].astype(int)
+    nz, ny, nx = occ.shape
+    for cz in range(nz):
+        for cy in range(ny):
+            for cx in range(nx):
+                v = leap[cz, cy, cx]
+                if v == 0:
+                    continue
+                w = occ[max(0, cz - v):cz + v + 1,
+                        max(0, cy - v):cy + v + 1,
+                        max(0, cx - v):cx + v + 1]
+                assert not w.any(), (cz, cy, cx, v)
+    # and it is not all-zero — far cells do get leaps
+    assert leap.max() >= 4
 
 
 def test_opacity_bake_constant_volume():
@@ -83,6 +111,19 @@ def test_opacity_bake_constant_volume():
     expect = 1.0 - ys  # distance from voxel center to +y face
     got = od[n // 2, :, n // 2]
     np.testing.assert_allclose(got, expect, atol=0.03)
+
+
+def test_native_multiscale_matches_numpy(rng_np):
+    from cuda_volpath_tpu.volume import loaders
+    vol = (rng_np.random((24, 17, 21)) * 255).astype(np.uint8)
+    vol[vol < 120] = 0
+    got = loaders.build_multiscale_bounds_native(vol, 0.15, stride=2,
+                                                 scale_mults=(1.0, 3.0))
+    if got is None:
+        pytest.skip("native boundgrid not built")
+    want = boundgrid.build_multiscale_bounds(vol, 0.15, stride=2,
+                                             scale_mults=(1.0, 3.0))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_native_matches_numpy(rng_np):

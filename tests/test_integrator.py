@@ -10,7 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from cuda_volpath_tpu.config import Param, RenderSettings, Tracker
+from cuda_volpath_tpu.config import (Param, RenderSettings, Tracker,
+                                     EnvmapMode, SpectralMode)
 from cuda_volpath_tpu.render import camera as cammod
 from cuda_volpath_tpu.render import film as filmmod
 from cuda_volpath_tpu.render import integrator
@@ -115,6 +116,70 @@ def test_deterministic_and_pool_invariant():
     np.testing.assert_array_equal(a, b)
     # pool-size change alters only scatter-add ordering => tiny fp jitter
     np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_multi_channel_matches_spectral_mean():
+    """One-wavelength-per-sample mode (MULTI_CHANNEL, kernel.cu:1319-1321,
+    1583-1586) is an unbiased single-channel estimator of the same
+    transport — per-channel image means must match the spectral tracker."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=15.0, albedo=(0.9, 0.8, 0.7),
+                                     sigma_t=(1.0, 0.7, 0.4), g=0.3))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=(0.3, 0.9, 0.3), sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    base = dict(precompute_opacity=False, steps_per_launch=4)
+    f_sp = _render(scene, RenderSettings(**base), w=8, h=8, spp=64, pool=2048)
+    f_mc = _render(scene, RenderSettings(
+        spectral=SpectralMode.MULTI_CHANNEL, **base),
+        w=8, h=8, spp=96, pool=2048)
+    a = np.asarray(filmmod.image(f_sp)).mean(axis=(0, 1))
+    b = np.asarray(filmmod.image(f_mc)).mean(axis=(0, 1))
+    np.testing.assert_allclose(b, a, rtol=0.18)
+
+
+def test_mono_is_achromatic_spectral():
+    """MONO ignores Param.sigma_t (kernel.cu:1328) — it must equal SPECTRAL
+    run with sigma_t = 1 (same draws, same weights; tolerance covers
+    rounding differences between the two compiled graphs)."""
+    vol = _blob_volume(16)
+    base = dict(precompute_opacity=False, steps_per_launch=4,
+                sun_light=False)
+    mat_chroma = materials_from_param(Param(density=10.0, g=0.2,
+                                            sigma_t=(1.0, 0.5, 0.25)))
+    scene = make_scene(vol, mat_chroma, envmap=envmod.constant(BG))
+    f_mono = _render(scene, RenderSettings(
+        spectral=SpectralMode.MONO, **base), w=8, h=8, spp=8, pool=512)
+    mat_achroma = materials_from_param(Param(density=10.0, g=0.2,
+                                             sigma_t=(1.0, 1.0, 1.0)))
+    scene2 = make_scene(vol, mat_achroma, envmod.constant(BG))
+    f_sp = _render(scene2, RenderSettings(**base), w=8, h=8, spp=8, pool=512)
+    np.testing.assert_allclose(np.asarray(filmmod.image(f_mono)),
+                               np.asarray(filmmod.image(f_sp)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mis_matches_passive_mean():
+    """The one-sample-MIS envmap branch (kernel.cu:2220-2297) and the
+    passive estimator target the same integral — means agree on an
+    envmap-lit scene."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=12.0, albedo=(0.9, 0.85, 0.8),
+                                     g=0.4))
+    # gradient envmap so CDF sampling is non-trivial
+    h, w = 16, 32
+    img = np.linspace(0.05, 1.5, h)[:, None, None] * \
+        np.array([1.0, 0.8, 0.6])[None, None, :]
+    env = envmod.build(np.broadcast_to(img, (h, w, 3)))
+    scene = make_scene(vol, mat, envmap=env)
+    base = dict(sun_light=False, precompute_opacity=False,
+                steps_per_launch=4)
+    f_p = _render(scene, RenderSettings(**base), w=8, h=8, spp=64, pool=2048)
+    f_m = _render(scene, RenderSettings(
+        envmap_mode=EnvmapMode.MIS, **base), w=8, h=8, spp=64, pool=2048)
+    a = np.asarray(filmmod.image(f_p)).mean(axis=(0, 1))
+    b = np.asarray(filmmod.image(f_m)).mean(axis=(0, 1))
+    np.testing.assert_allclose(b, a, rtol=0.1)
 
 
 def test_heat_channel_and_counts():
