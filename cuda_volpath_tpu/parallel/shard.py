@@ -56,26 +56,25 @@ def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int
 
 def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
                         width: int, height: int, mesh: Mesh):
-    """Build the sharded launch: (scene, state, film_sum, film_count) →
-    (state, film_sum, film_count), all device-local work."""
+    """Build the sharded launch: (scene, state, film_data) →
+    (state, film_data), all device-local work."""
     step, _ = integrator.make_step_fn(settings, cam, width, height)
     axis = mesh.axis_names[0]
 
     def local_launch(scene: Scene, st: integrator.PathState,
-                     fsum: jnp.ndarray, fcount: jnp.ndarray):
-        film = filmmod.Film(sum=fsum[0], count=fcount[0],
-                            width=width, height=height)
+                     fdata: jnp.ndarray):
+        film = filmmod.Film(data=fdata[0], width=width, height=height)
 
         # unrolled for the same gather-in-loop reason as integrator.launch
         for _ in range(settings.steps_per_launch):
             st, film = step(scene, st, film)
-        return st, film.sum[None], film.count[None]
+        return st, film.data[None]
 
     state_spec = jax.tree.map(lambda _: P(axis), integrator.init_state(1))
     launch = shard_map(local_launch, mesh=mesh,
-                       in_specs=(P(), state_spec, P(axis), P(axis)),
-                       out_specs=(state_spec, P(axis), P(axis)))
-    return jax.jit(launch, donate_argnums=(1, 2, 3))
+                       in_specs=(P(), state_spec, P(axis)),
+                       out_specs=(state_spec, P(axis)))
+    return jax.jit(launch, donate_argnums=(1, 2))
 
 
 def render_sharded(scene: Scene, cam: cammod.Camera,
@@ -93,12 +92,11 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
 
     launch = make_sharded_launch(settings, cam, width, height, mesh)
     st = init_sharded_state(pool_per_device, n_dev, total)
-    fsum = jnp.zeros((n_dev, npix + 1, 4), jnp.float32)
-    fcount = jnp.zeros((n_dev, npix + 1), jnp.float32)
+    fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
 
     launches = 0
     while True:
-        st, fsum, fcount = launch(scene, st, fsum, fcount)
+        st, fdata = launch(scene, st, fdata)
         launches += 1
         if max_launches is not None and launches >= max_launches:
             break
@@ -106,5 +104,4 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
                 bool(jnp.all(st.next_item >= st.total_items)):
             break
 
-    return filmmod.Film(sum=fsum.sum(axis=0), count=fcount.sum(axis=0),
-                        width=width, height=height)
+    return filmmod.Film(data=fdata.sum(axis=0), width=width, height=height)

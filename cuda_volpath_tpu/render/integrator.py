@@ -398,19 +398,41 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         radii = scene.bound_radii
         sh_dir = st.shadow_dir if use_mis else \
             jnp.broadcast_to(scene.sun_dir, st.d.shape)
+        # hyperion schedule first — the scale-selection cost model uses ρ'
+        g_cur, density_prime = _hyperion(st.num_scatters, scene.mat.g,
+                                         scene.mat.density)
+        max_sigma_t = jnp.max(scene.mat.sigma_t)
+        min_sigma_t = jnp.min(scene.mat.sigma_t)
         if local_bounds:
             pos_b = _w(st.shadow,
                        st.o + sh_dir * st.dist[:, None],
                        st.o + st.d * t_near[:, None])
             bnd = gridmod.sample_world(scene.bound, pos_b, linear=False)
+            # Scale selection: take the *largest* scale whose expected
+            # residual-event count over one segment,
+            #   ev_k = σ̄t·ρ'·(max_k − min_k)·r_k,
+            # stays below a small constant.  Any scale is an unbiased
+            # choice (each window is a valid majorant/minorant over its
+            # radius); small segments stay preferred in heterogeneous
+            # regions because committing a long segment to a loose
+            # majorant pays its event rate over the whole span, while
+            # short segments re-tighten at every boundary.  Vacuum and
+            # homogeneous windows (ev = 0) take the largest scale, and
+            # smooth interiors (WDAS-class clouds, Δd ~ few/255) get long
+            # segments too.
+            rho_sel = _w(st.shadow, st.density_prime, density_prime)
+            ev_budget = jnp.float32(1.0)
             d_max = bnd[..., 0]
             d_min = bnd[..., 1]
             seg_len = jnp.full_like(t_near, radii[0])
             for k in range(1, len(radii)):
-                homog = bnd[..., 2 * k] == bnd[..., 2 * k + 1]
-                d_max = jnp.where(homog, bnd[..., 2 * k], d_max)
-                d_min = jnp.where(homog, bnd[..., 2 * k + 1], d_min)
-                seg_len = jnp.where(homog, radii[k], seg_len)
+                mk = bnd[..., 2 * k]
+                nk = bnd[..., 2 * k + 1]
+                ok = (max_sigma_t * rho_sel * (mk - nk) * radii[k]
+                      <= ev_budget)
+                d_max = jnp.where(ok, mk, d_max)
+                d_min = jnp.where(ok, nk, d_min)
+                seg_len = jnp.where(ok, radii[k], seg_len)
             # distance-to-solid leap: density ≡ 0 for leap_cells coarse
             # cells (Chebyshev) around this one → extend the vacuum segment
             # (the u8 channel comes back dequantized by 1/255)
@@ -439,10 +461,6 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         act = pseg & ~vacuum
 
         d_max_f = jnp.maximum(1e-4, d_max)  # reference floor (kernel.cu:1658)
-        g_cur, density_prime = _hyperion(st.num_scatters, scene.mat.g,
-                                         scene.mat.density)
-        max_sigma_t = jnp.max(scene.mat.sigma_t)
-        min_sigma_t = jnp.min(scene.mat.sigma_t)
         sigma_t_prime = max_sigma_t * density_prime * d_max_f
 
         if use_decomp:

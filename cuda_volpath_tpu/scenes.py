@@ -74,6 +74,92 @@ def flagship(n: int = 256, param: Param | None = None,
     return scene, cam, param
 
 
+def _value_noise3(shape, freq, rng):
+    """Trilinear value noise at integer lattice frequency ``freq``."""
+    g = rng.random((freq + 1, freq + 1, freq + 1)).astype(np.float32)
+    zs = np.linspace(0, freq, shape[0], endpoint=False)
+    ys = np.linspace(0, freq, shape[1], endpoint=False)
+    xs = np.linspace(0, freq, shape[2], endpoint=False)
+    z0 = np.floor(zs).astype(int)[:, None, None]
+    y0 = np.floor(ys).astype(int)[None, :, None]
+    x0 = np.floor(xs).astype(int)[None, None, :]
+    fz = (zs - np.floor(zs))[:, None, None]
+    fy = (ys - np.floor(ys))[None, :, None]
+    fx = (xs - np.floor(xs))[None, None, :]
+    def gg(dz, dy, dx):
+        return g[z0 + dz, y0 + dy, x0 + dx]
+    c00 = gg(0, 0, 0) * (1 - fx) + gg(0, 0, 1) * fx
+    c10 = gg(0, 1, 0) * (1 - fx) + gg(0, 1, 1) * fx
+    c01 = gg(1, 0, 0) * (1 - fx) + gg(1, 0, 1) * fx
+    c11 = gg(1, 1, 0) * (1 - fx) + gg(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _bake_cloud(n: int, seed: int = 7) -> np.ndarray:
+    """Procedural cumulus-like cloud: fBm density inside an ellipsoid
+    falloff, smooth and mostly saturated inside — the same content class as
+    the reference's WDAS-cloud benchmark (dense interior, wispy boundary),
+    for which decomposition tracking was designed."""
+    rng = np.random.default_rng(seed)
+    shape = (n, n, n)
+    fbm = np.zeros(shape, np.float32)
+    amp, freq = 1.0, 4
+    for _ in range(5):
+        fbm += amp * _value_noise3(shape, freq, rng)
+        amp *= 0.55
+        freq *= 2
+    fbm /= fbm.max()
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    c = (n - 1) / 2
+    r2 = (((xx - c) / (0.42 * n)) ** 2 + ((yy - c) / (0.30 * n)) ** 2
+          + ((zz - c) / (0.38 * n)) ** 2)
+    falloff = np.clip(1.35 - r2 - 0.9 * fbm, 0.0, 1.0)
+    dens = np.clip(falloff * 3.0, 0.0, 1.0)
+    dens[dens < 0.02] = 0.0
+    return dens.astype(np.float32)
+
+
+def _cached_cloud(n: int) -> np.ndarray:
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    f = _CACHE / f"cloud_{n}.npz"
+    if f.exists():
+        return np.load(f)["vol"]
+    vol = _bake_cloud(n)
+    np.savez_compressed(f, vol=vol)
+    return vol
+
+
+def cloud(n: int = 256, param: Param | None = None,
+          sun_x: float = 0.5, sun_y: float = 0.2,
+          bake_opacity: bool = True, opacity_dt: float = 0.004,
+          search_radius: float = 0.05):
+    """Procedural dense-cloud benchmark scene (WDAS-cloud content class)."""
+    param = param or Param()
+    vol = _cached_cloud(n)
+    env, sun_dir, sun_directional, sun_disk = \
+        sunskymod.make_envmap_and_sun(sun_x, sun_y)
+    mat = materials_from_param(param)
+    scene = make_scene(vol, mat, envmap=env,
+                       sun_dir=sun_dir, sun_power=sun_directional,
+                       sun_power_original=sun_disk,
+                       search_radius=search_radius, quantize=True)
+    if bake_opacity:
+        key = f"cloud_opacity_{n}_{sun_x}_{sun_y}_{opacity_dt}.npz"
+        f = _CACHE / key
+        if f.exists():
+            od = np.load(f)["od"]
+        else:
+            from .volume import opacity as opacitymod
+            od = np.asarray(opacitymod.bake(scene.density, sun_dir,
+                                            dt=opacity_dt))
+            np.savez_compressed(f, od=od)
+        scene = scene.replace(opacity=scene.opacity.replace(
+            data=jnp.asarray(od)))
+    return scene, cammod.make_camera(), param
+
+
 def gaussian_blob(n: int = 32, param: Param | None = None, **scene_kw):
     """Small analytic test scene."""
     param = param or Param(density=50.0, g=0.3)
