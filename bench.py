@@ -46,7 +46,7 @@ def main():
     print(f"# scene ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     npix = width * height
-    _, launch = integrator.make_step_fn(settings, cam, width, height)
+    _, launch = integrator.make_step_fn(settings, width, height)
     st = integrator.init_state(pool)
     st = st.replace(total_items=jnp.full((1,), npix * 100000, jnp.int32))
     film = filmmod.make_film(width, height)
@@ -55,19 +55,19 @@ def main():
     # NB: a host pull per launch — on lazy/async backends (the axon TPU
     # tunnel) block_until_ready does not force execution.
     t0 = time.time()
-    st, film = launch(scene, st, film)
+    st, film = launch(scene, cam, st, film)
     float(jnp.sum(film.count[:-1]))
     print(f"# first launch (compile+run) {time.time() - t0:.1f}s",
           file=sys.stderr)
     for _ in range(6):
-        st, film = launch(scene, st, film)
+        st, film = launch(scene, cam, st, film)
 
     # measure steady state, forcing with a host pull per launch
     retired0 = float(jnp.sum(film.count[:-1]))
     t0 = time.time()
     n = 0
     while time.time() - t0 < seconds:
-        st, film = launch(scene, st, film)
+        st, film = launch(scene, cam, st, film)
         float(jnp.sum(film.count[:-1]))
         n += 1
     elapsed = time.time() - t0

@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="cuda-volpath-tpu",
         description="TPU-native volumetric path tracer (render job runner)")
     p.add_argument("--scene", default="flagship",
-                   choices=["flagship", "blob"],
+                   choices=["flagship", "cloud", "blob"],
                    help="built-in scene (ignored if --volume is given)")
     p.add_argument("--volume", default=None,
                    help="volume file: .vdb, .bin (w/h/d header), or .npz")
@@ -113,6 +113,11 @@ def _load_scene(args, param):
             sun_x=args.sun[0], sun_y=args.sun[1],
             bake_opacity=not args.no_opacity_cache)
         scene = scene.replace(mat=mat)
+    elif args.scene == "cloud":
+        scene, cam, _ = scenes.cloud(
+            sun_x=args.sun[0], sun_y=args.sun[1],
+            bake_opacity=not args.no_opacity_cache)
+        scene = scene.replace(mat=mat)
     else:
         scene, cam, _ = scenes.gaussian_blob(32)
         scene = scene.replace(mat=mat)
@@ -157,7 +162,6 @@ def main(argv=None) -> int:
 
     npix = width * height
     pool = args.pool or min(npix, 1 << 19)
-    _, launch = integrator.make_step_fn(settings, cam, width, height)
 
     film = None
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -166,27 +170,22 @@ def main(argv=None) -> int:
         print(f"# resumed from {args.checkpoint} "
               f"(mean spp {float(np.mean(np.asarray(filmmod.spp(film)))):.1f})",
               file=sys.stderr)
-    if film is None:
-        film = filmmod.make_film(width, height)
-
-    st = integrator.init_state(pool)
-    st = st.replace(total_items=jnp.full((1,), npix * args.spp, jnp.int32))
 
     t0 = time.time()
-    last_report, last_count = t0, 0.0
-    while True:
-        st, film = launch(scene, st, film)
+    meter = {"t": t0, "count": 0.0}
+
+    def progress(fm):
         now = time.time()
-        if now - last_report >= args.report_every:
-            done = float(jnp.sum(film.count[:-1]))
-            rate = (done - last_count) / (now - last_report)
-            print(f"# {rate / 1e6:.3f} M samples / s, {width} x {height}, "
-                  f"{done / npix:.1f}/{args.spp} spp",
-                  file=sys.stderr)
-            last_report, last_count = now, done
-        if bool(jnp.all(st.status == integrator.DONE)) and \
-                int(st.next_item[0]) >= int(st.total_items[0]):
-            break
+        if now - meter["t"] < args.report_every:
+            return
+        done = float(jnp.sum(fm.count[:-1]))
+        rate = (done - meter["count"]) / (now - meter["t"])
+        print(f"# {rate / 1e6:.3f} M samples / s, {width} x {height}, "
+              f"{done / npix:.1f}/{args.spp} spp", file=sys.stderr)
+        meter["t"], meter["count"] = now, done
+
+    film = integrator.render(scene, cam, settings, width, height, args.spp,
+                             pool=pool, film=film, progress_cb=progress)
     total = time.time() - t0
     print(f"# rendered {args.spp} spp in {total:.1f}s "
           f"({npix * args.spp / total / 1e6:.3f} M samples/s)",

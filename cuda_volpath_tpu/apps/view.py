@@ -1,0 +1,212 @@
+"""Interactive terminal viewer — the TPU-native equivalent of the
+reference's GLUT window (src/volumeRender.cpp:1284-1403, callbacks
+:655-874).
+
+Progressive accumulation renders into an ANSI-truecolor half-block canvas
+(two pixels per character cell); the accumulation resets whenever the
+camera or material changes, exactly like ``fb->reset()`` on input
+(volumeRender.cpp:769, 835-841).  Because the camera and all material
+parameters are *traced arguments* of the compiled launch, interaction
+never recompiles — the TPU analog of the reference's per-frame
+``c_invViewMatrix`` upload.
+
+Keys (reference keyboard/motion handlers, volumeRender.cpp:674-874):
+
+  h/j/k/l or arrows  orbit            +/-   density
+  i/o                zoom             [/]   brightness
+  space              cycle material   x/z   albedo up/down
+  r                  random material  a/s   HG anisotropy g
+  n                  denoise toggle   c     capture output{N}.ppm/.hdr
+  q                  quit
+
+Run: python -m cuda_volpath_tpu.apps.view --scene blob --size 192x104
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+import numpy as np
+
+
+def _half_block_frame(img: np.ndarray) -> str:
+    """(H, W, 3) floats in [0,1] → ANSI truecolor half-block text."""
+    data = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h, w = data.shape[:2]
+    if h % 2:
+        data = np.concatenate([data, np.zeros((1, w, 3), np.uint8)])
+        h += 1
+    out = []
+    for y in range(0, h, 2):
+        row = []
+        for x in range(w):
+            t, b = data[y, x], data[y + 1, x]
+            row.append(f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                       f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀")
+        out.append("".join(row) + "\x1b[0m")
+    return "\n".join(out)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cuda-volpath-tpu-view")
+    ap.add_argument("--scene", default="blob", choices=["flagship", "blob",
+                                                        "cloud"])
+    ap.add_argument("--size", default="160x88")
+    ap.add_argument("--pool", type=int, default=None)
+    ap.add_argument("--steps-per-launch", type=int, default=32)
+    ap.add_argument("--density", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    from .. import scenes
+    from ..config import Param, RenderSettings
+    from ..render import camera as cammod
+    from ..render import film as filmmod
+    from ..render import integrator
+    from ..render import postprocess
+    from ..render.scene import (MATERIAL_PRESETS, make_material,
+                                materials_from_param)
+    from ..io import ppm as ppmio
+    from ..io import hdr as hdrio
+
+    width, height = (int(v) for v in args.size.lower().split("x"))
+    print(f"loading scene {args.scene}…", file=sys.stderr)
+    if args.scene == "flagship":
+        scene, cam, param = scenes.flagship()
+    elif args.scene == "cloud":
+        scene, cam, param = scenes.cloud()
+    else:
+        scene, cam, param = scenes.gaussian_blob(32)
+    if args.density is not None:
+        scene = scene.replace(mat=scene.mat.replace(
+            density=jnp.float32(args.density)))
+
+    settings = RenderSettings(steps_per_launch=args.steps_per_launch)
+    pool = args.pool or min(width * height, 1 << 18)
+    _, launch = integrator.make_step_fn(settings, width, height)
+
+    def fresh():
+        st = integrator.init_state(pool)
+        st = st.replace(total_items=jnp.full((1,), width * height * 1000000,
+                                             jnp.int32))
+        return st, filmmod.make_film(width, height)
+
+    print("compiling…", file=sys.stderr)
+    st, film = fresh()
+    st, film = launch(scene, cam, st, film)
+    denoise_on = False
+    preset = -1
+    capture_idx = 0
+
+    fd = sys.stdin.fileno()
+    old_attrs = termios.tcgetattr(fd)
+    tty.setcbreak(fd)
+    t_last = time.time()
+    try:
+        sys.stdout.write("\x1b[2J")  # clear
+        while True:
+            st, film = launch(scene, cam, st, film)
+            spp_now = float(jnp.sum(film.count[:-1])) / (width * height)
+
+            img = filmmod.image(film)
+            if denoise_on:
+                img = postprocess.denoise(img, filmmod.heat(film),
+                                          spp=max(spp_now, 1.0))
+            disp = np.asarray(postprocess.tonemap_display(img,
+                                                          settings.gamma))
+            fps = 1.0 / max(time.time() - t_last, 1e-6)
+            t_last = time.time()
+            mat = scene.mat
+            hud = (f"spp {spp_now:7.1f} | {fps:4.1f} fps | density "
+                   f"{float(mat.density):6.1f} | g {float(mat.g):.3f} | "
+                   f"bright {float(mat.brightness):.2f} | "
+                   f"{'denoise ' if denoise_on else ''}q quits")
+            sys.stdout.write("\x1b[H" + _half_block_frame(disp) + "\n"
+                             + hud + "\x1b[K\n")
+            sys.stdout.flush()
+
+            # drain pending keys
+            reset = False
+            while select.select([sys.stdin], [], [], 0)[0]:
+                ch = sys.stdin.read(1)
+                if ch == "q":
+                    return 0
+                elif ch in "hjkl":  # orbit (arrow keys send escapes; ignore)
+                    dx = {"h": -40.0, "l": 40.0}.get(ch, 0.0)
+                    dy = {"j": 40.0, "k": -40.0}.get(ch, 0.0)
+                    cam = cammod.orbit(cam, dx, dy)
+                    reset = True
+                elif ch == "i":
+                    cam = cammod.zoom(cam, -0.2)
+                    reset = True
+                elif ch == "o":
+                    cam = cammod.zoom(cam, 0.2)
+                    reset = True
+                elif ch == "+":
+                    scene = scene.replace(mat=mat.replace(
+                        density=mat.density + 10.0))
+                    reset = True
+                elif ch == "-":
+                    scene = scene.replace(mat=mat.replace(
+                        density=jnp.maximum(mat.density - 10.0, 1.0)))
+                    reset = True
+                elif ch == "[":
+                    scene = scene.replace(mat=mat.replace(
+                        brightness=mat.brightness / 1.1))
+                    reset = True
+                elif ch == "]":
+                    scene = scene.replace(mat=mat.replace(
+                        brightness=mat.brightness * 1.1))
+                    reset = True
+                elif ch == "x":
+                    scene = scene.replace(mat=mat.replace(
+                        albedo=jnp.minimum(mat.albedo + 0.01, 1.0)))
+                    reset = True
+                elif ch == "z":
+                    scene = scene.replace(mat=mat.replace(
+                        albedo=jnp.maximum(mat.albedo - 0.01, 0.0)))
+                    reset = True
+                elif ch == "a":
+                    scene = scene.replace(mat=mat.replace(
+                        g=jnp.minimum(mat.g + 0.02, 0.99)))
+                    reset = True
+                elif ch == "s":
+                    scene = scene.replace(mat=mat.replace(
+                        g=jnp.maximum(mat.g - 0.02, -0.99)))
+                    reset = True
+                elif ch == " ":
+                    preset = (preset + 1) % len(MATERIAL_PRESETS)
+                    m = make_material(*MATERIAL_PRESETS[preset])
+                    scene = scene.replace(mat=m.replace(
+                        density=mat.density, brightness=mat.brightness))
+                    reset = True
+                elif ch == "r":
+                    rs = np.random.rand(6) * np.array([5, 5, 5, .1, .1, .1])
+                    m = make_material(*rs)
+                    scene = scene.replace(mat=m.replace(
+                        density=mat.density, brightness=mat.brightness))
+                    reset = True
+                elif ch == "n":
+                    denoise_on = not denoise_on
+                elif ch == "c":
+                    while os.path.exists(f"output{capture_idx}.ppm"):
+                        capture_idx += 1
+                    ppmio.write_ppm(f"output{capture_idx}.ppm", disp)
+                    hdrio.write_hdr(f"output{capture_idx}.hdr",
+                                    np.asarray(img))
+            if reset:
+                st, film = fresh()
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old_attrs)
+        sys.stdout.write("\x1b[0m\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,23 +58,23 @@ def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
                         width: int, height: int, mesh: Mesh):
     """Build the sharded launch: (scene, state, film_data) →
     (state, film_data), all device-local work."""
-    step, _ = integrator.make_step_fn(settings, cam, width, height)
+    step, _ = integrator.make_step_fn(settings, width, height)
     axis = mesh.axis_names[0]
 
-    def local_launch(scene: Scene, st: integrator.PathState,
-                     fdata: jnp.ndarray):
+    def local_launch(scene: Scene, cam: cammod.Camera,
+                     st: integrator.PathState, fdata: jnp.ndarray):
         film = filmmod.Film(data=fdata[0], width=width, height=height)
 
         # unrolled for the same gather-in-loop reason as integrator.launch
         for _ in range(settings.steps_per_launch):
-            st, film = step(scene, st, film)
+            st, film = step(scene, cam, st, film)
         return st, film.data[None]
 
     state_spec = jax.tree.map(lambda _: P(axis), integrator.init_state(1))
     launch = shard_map(local_launch, mesh=mesh,
-                       in_specs=(P(), state_spec, P(axis)),
+                       in_specs=(P(), P(), state_spec, P(axis)),
                        out_specs=(state_spec, P(axis)))
-    return jax.jit(launch, donate_argnums=(1, 2))
+    return jax.jit(launch, donate_argnums=(2, 3))
 
 
 def render_sharded(scene: Scene, cam: cammod.Camera,
@@ -96,7 +96,7 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
 
     launches = 0
     while True:
-        st, fdata = launch(scene, st, fdata)
+        st, fdata = launch(scene, cam, st, fdata)
         launches += 1
         if max_launches is not None and launches >= max_launches:
             break

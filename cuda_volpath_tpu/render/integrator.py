@@ -195,12 +195,15 @@ def _sample_density(scene: Scene, pos, linear: bool):
     return gridmod.sample_world(scene.density, pos, linear=linear)
 
 
-def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
-                 width: int, height: int):
+def make_step_fn(settings: RenderSettings, width: int, height: int):
     """Build the jitted micro-step/launch for static (settings, resolution).
 
+    The camera is a traced argument of the returned functions — moving it
+    re-runs, never re-compiles (the reference equivalently re-uploads
+    ``c_invViewMatrix`` per frame, volumeRender.cpp:617-625).
+
     The step advances every lane one event:
-      [retire/spawn] → segment setup (path | shadow) → unified march.
+      [housekeeping] → segment setup (path | shadow) → unified march.
     """
     linear = settings.filter_mode == FilterMode.LINEAR
     op_linear = settings.opacity_filter == FilterMode.LINEAR
@@ -219,7 +222,8 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         return scene.replace(mat=scene.mat.replace(
             sigma_t=jnp.ones((3,), jnp.float32)))
 
-    def spawn(scene: Scene, st: PathState) -> PathState:
+    def spawn(scene: Scene, cam: cammod.Camera,
+              st: PathState) -> PathState:
         """Pull new (pixel, sample) work items into retired lanes."""
         can = st.status == DONE
         rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
@@ -357,7 +361,8 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
             status=jnp.where(go, NEW_SEGMENT, st.status))
         return st, scatter_now
 
-    def housekeeping(scene: Scene, st: PathState, film: filmmod.Film):
+    def housekeeping(scene: Scene, cam: cammod.Camera, st: PathState,
+                     film: filmmod.Film):
         """The batched per-``spawn_every`` pass: process pending scatters
         (under MIS the sun estimate is followed by the envmap estimate
         before scattering), shade escapes + accumulate to film, respawn."""
@@ -369,7 +374,7 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         else:
             st = do_scatter(st, pend)
         st, film = retire(scene, st, film)
-        st = spawn(scene, st)
+        st = spawn(scene, cam, st)
         return st, film
 
     def segment_setup(scene: Scene, st: PathState) -> PathState:
@@ -668,9 +673,10 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         return st.replace(status=jnp.where(scatter_now | sh_complete,
                                            SCATTER, st.status))
 
-    def step(scene: Scene, st: PathState, film: filmmod.Film):
+    def step(scene: Scene, cam: cammod.Camera, st: PathState,
+             film: filmmod.Film):
         scene = mono_scene(scene)
-        st, film = housekeeping(scene, st, film)
+        st, film = housekeeping(scene, cam, st, film)
         st = segment_setup(scene, st)
         st = march(scene, st)
         return st, film
@@ -679,8 +685,9 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         st = segment_setup(scene, st)
         return march(scene, st)
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def launch(scene: Scene, st: PathState, film: filmmod.Film):
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def launch(scene: Scene, cam: cammod.Camera, st: PathState,
+               film: filmmod.Film):
         scene = mono_scene(scene)
         # Python-unrolled (not fori_loop) — see module docstring.
         # Housekeeping (scatter/retire/spawn) runs every spawn_every steps:
@@ -688,36 +695,68 @@ def make_step_fn(settings: RenderSettings, cam: cammod.Camera,
         # scatter-adds for the ~2%% of lanes that need them per step.
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
-                st, film = housekeeping(scene, st, film)
+                st, film = housekeeping(scene, cam, st, film)
             st = step_inner(scene, st)
-        st, film = housekeeping(scene, st, film)
+        st, film = housekeeping(scene, cam, st, film)
         return st, film
 
     return step, launch
 
 
+def compact_state(st: PathState, new_pool: int) -> PathState:
+    """Repack live lanes into a smaller pool (host-side; drain phase only).
+
+    Lane identity carries no meaning — RNG streams live in the lane
+    registers — so repacking is exact.
+    """
+    import numpy as np
+    live = np.asarray(st.status) != DONE
+    idx = np.nonzero(live)[0][:new_pool]
+    fresh = init_state(new_pool)
+
+    def pick(new, old):
+        if old.shape and old.shape[0] == live.shape[0]:
+            arr = np.array(new)  # writable host copy
+            arr[:len(idx)] = np.asarray(old)[idx]
+            return jnp.asarray(arr)
+        return old  # queue cursors keep their (1,) shape
+    return jax.tree.map(pick, fresh, st)
+
+
 def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            width: int, height: int, spp: int,
            pool: int | None = None,
-           film: filmmod.Film | None = None) -> filmmod.Film:
+           film: filmmod.Film | None = None,
+           progress_cb=None,
+           tail_pool: int = 1 << 14) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
-    (volumeRender.cpp:613-641), with asynchronous sample retirement.
+    (volumeRender.cpp:613-641), with asynchronous sample retirement.  Once
+    the work queue drains, surviving stragglers (max-depth paths are up to
+    800 scatters, kernel.cu:34) are compacted into a small pool so the tail
+    doesn't pay full-pool launches.  ``progress_cb(film)`` is invoked after
+    every launch.
     """
     npix = width * height
     if pool is None:
         pool = min(npix, 1 << 19)
-    _, launch = make_step_fn(settings, cam, width, height)
+    _, launch = make_step_fn(settings, width, height)
     st = init_state(pool)
     st = st.replace(total_items=jnp.full((1,), npix * spp, jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
 
     while True:
-        st, film = launch(scene, st, film)
-        done = bool(jnp.all(st.status == DONE)) and \
-            int(st.next_item[0]) >= int(st.total_items[0])
-        if done:
+        st, film = launch(scene, cam, st, film)
+        if progress_cb is not None:
+            progress_cb(film)
+        if int(st.next_item[0]) < int(st.total_items[0]):
+            continue
+        live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
+        if live == 0:
             break
+        if pool > tail_pool and live <= tail_pool // 2:
+            st = compact_state(st, tail_pool)
+            pool = tail_pool
     return film

@@ -39,3 +39,13 @@ def test_argparser_covers_reference_params():
     a = p.parse_args(["--preset", "3", "--tracker", "delta",
                       "--filter", "linear", "--no-sun"])
     assert a.preset == 3 and a.tracker == "delta"
+
+
+def test_half_block_frame():
+    import numpy as np
+    from cuda_volpath_tpu.apps import view
+    img = np.zeros((4, 3, 3), np.float32)
+    img[0, 0] = (1.0, 0.0, 0.0)
+    txt = view._half_block_frame(img)
+    assert txt.count("▀") == 6  # 3 wide × (4/2) rows
+    assert "38;2;255;0;0" in txt
