@@ -134,6 +134,11 @@ class RenderSettings:
     # Retire/spawn cadence in micro-steps: the work-queue cumsum + film
     # scatter are whole-pool ops, amortized over several march steps.
     spawn_every: int = 8
+    # March sub-steps per segment-setup pass: null-collision chains run
+    # several events per fetch of the bound pyramid, amortizing setup,
+    # housekeeping and intersect costs (lanes whose segment ends idle the
+    # remaining sub-steps).
+    marches_per_step: int = 2
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

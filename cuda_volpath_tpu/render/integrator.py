@@ -677,13 +677,14 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
              film: filmmod.Film):
         scene = mono_scene(scene)
         st, film = housekeeping(scene, cam, st, film)
-        st = segment_setup(scene, st)
-        st = march(scene, st)
+        st = step_inner(scene, st)
         return st, film
 
     def step_inner(scene: Scene, st: PathState) -> PathState:
         st = segment_setup(scene, st)
-        return march(scene, st)
+        for _ in range(settings.marches_per_step):
+            st = march(scene, st)
+        return st
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def launch(scene: Scene, cam: cammod.Camera, st: PathState,
