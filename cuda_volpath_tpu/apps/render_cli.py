@@ -62,7 +62,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=800)
     p.add_argument("--pool", type=int, default=None,
                    help="wavefront pool size (default min(npix, 2^19))")
-    p.add_argument("--steps-per-launch", type=int, default=32)
+    p.add_argument("--steps-per-launch", type=int, default=None,
+                   help="micro-steps per launch (default: config)")
     p.add_argument("--orbit", type=float, nargs=2, default=None,
                    metavar=("DX", "DY"), help="orbit the default camera")
     p.add_argument("--zoom", type=float, default=None)
@@ -150,7 +151,8 @@ def main(argv=None) -> int:
         sun_light=not args.no_sun,
         precompute_opacity=not args.no_opacity_cache,
         max_depth=args.max_depth,
-        steps_per_launch=args.steps_per_launch)
+        **({"steps_per_launch": args.steps_per_launch}
+           if args.steps_per_launch else {}))
 
     t0 = time.time()
     scene, cam = _load_scene(args, param)
