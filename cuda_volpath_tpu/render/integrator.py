@@ -18,14 +18,15 @@ elements per micro-step and (b) micro-steps per camera sample):
   unified code path**: both advance ``dist += -ln(U)/σ`` and fetch the
   density grid once per micro-step; a lane's mode only changes which
   (cheap, masked) state update applies.
-* Segments come from a **coarse multiscale bound pyramid**
-  (ops.boundgrid.build_multiscale_bounds) instead of the reference's
-  full-resolution bound texture: the largest scale whose window is
-  homogeneous (max == min) yields an *exact* analytic segment — vacuum and
-  saturated interiors advance up to 25× search_radius in a single
-  micro-step with zero RNG draws and zero density fetches.  The reference
-  instead creeps through empty space one ``search_radius`` (and one
-  majorant-floor free-flight draw) at a time
+* Segments come from a **coarse multiscale bound pyramid with a
+  distance-to-solid leap channel** (ops.boundgrid.build_multiscale_bounds)
+  instead of the reference's full-resolution bound texture: each lane takes
+  the largest scale whose expected residual-event count per segment stays
+  under a small budget — vacuum leaps the baked empty radius in one
+  draw-free micro-step, saturated and smooth interiors take long
+  analytic-control segments, and only loose-majorant shells march at
+  ``search_radius``.  The reference instead creeps through empty space one
+  ``search_radius`` (and one majorant-floor free-flight draw) at a time
   (kernel.cu:1654 ``fminf(smallest_tmax, search_radius)``, :2044 1e-4
   majorant floor).
 * Shadow transmittance is **segmented residual ratio tracking**: per
