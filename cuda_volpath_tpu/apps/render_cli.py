@@ -45,6 +45,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--filter", default="nearest",
                    choices=["nearest", "linear"],
                    help="density filtering ('f' toggle in the reference)")
+    p.add_argument("--shadow", default="ratio",
+                   choices=["ratio", "binary"],
+                   help="shadow transmittance estimator: 'binary' is the "
+                   "reference's Tr_spectral (kernel.cu:754) with early "
+                   "termination, 'ratio' its lower-variance refinement")
+    p.add_argument("--ev-budget", type=float, default=1.0,
+                   help="segment scale-selection event budget")
     p.add_argument("--preset", type=int, default=None,
                    help="material preset index 0-12 (space key cycle)")
     p.add_argument("--density", type=float, default=800.0)
@@ -128,7 +135,8 @@ def _load_scene(args, param):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     import jax.numpy as jnp
-    from ..config import Param, RenderSettings, Tracker, FilterMode
+    from ..config import (Param, RenderSettings, Tracker, FilterMode,
+                          ShadowMode)
     from ..render import camera as cammod
     from ..render import film as filmmod
     from ..render import integrator
@@ -148,6 +156,8 @@ def main(argv=None) -> int:
     settings = RenderSettings(
         tracker=Tracker(args.tracker),
         filter_mode=FilterMode(args.filter),
+        shadow_mode=ShadowMode(args.shadow),
+        ev_budget=args.ev_budget,
         sun_light=not args.no_sun,
         precompute_opacity=not args.no_opacity_cache,
         max_depth=args.max_depth,

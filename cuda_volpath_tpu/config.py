@@ -71,6 +71,25 @@ class EnvmapMode(enum.Enum):
     MIS = "mis"
 
 
+class ShadowMode(enum.Enum):
+    """Shadow-ray transmittance estimator.
+
+    * BINARY — the reference's ``Tr_spectral`` (src/volumeRender_kernel.cu:
+      754-808): spectral delta tracking with sample reuse; each event kills
+      channel ch with probability σ_r,ch(x)/σ̄_r, so transmittance per
+      channel is 0/1 and the march terminates as soon as every channel is
+      dead.  Cheapest in optically thick media (terminates after ~1 real
+      collision), higher variance per sample.
+    * RATIO — segmented residual ratio tracking: the expected-value
+      refinement (deterministic weight 1-σ_r,ch(x)/σ̄_r per event; exact
+      analytic factor over each segment's control medium).  Same mean,
+      lower variance; marches the whole chord in smooth media.
+    """
+
+    BINARY = "binary"
+    RATIO = "ratio"
+
+
 class FilterMode(enum.Enum):
     """Density texture filtering (reference toggles at runtime with 'f';
     src/volumeRender_kernel.cu:422-439)."""
@@ -110,6 +129,7 @@ class RenderSettings:
     tracker: Tracker = Tracker.DECOMP
     spectral: SpectralMode = SpectralMode.SPECTRAL
     envmap_mode: EnvmapMode = EnvmapMode.PASSIVE
+    shadow_mode: ShadowMode = ShadowMode.RATIO
     sun_light: bool = True
     precompute_opacity: bool = True
     max_depth: int = 800
@@ -139,6 +159,18 @@ class RenderSettings:
     # housekeeping and intersect costs (lanes whose segment ends idle the
     # remaining sub-steps).
     marches_per_step: int = 2
+    # Scale-selection event budget: a segment takes the largest bound-pyramid
+    # scale whose expected residual-event count σ̄t·ρ'·(max_k-min_k)·r_k stays
+    # under this (integrator.segment_setup).  Larger = longer segments with
+    # looser majorants (fewer setups, more null events).
+    ev_budget: float = 1.0
+    # Process pending scatters inline after every march sub-step instead of
+    # only at housekeeping cadence: a lane that decides to scatter would
+    # otherwise idle up to spawn_every steps.  Costs a masked HG-sampling
+    # pass per sub-step; wins when scatter order per sample is high.
+    # (PASSIVE envmap only — under MIS the scatter stage chains the envmap
+    # NEE, which stays batched.)
+    scatter_inline: bool = False
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

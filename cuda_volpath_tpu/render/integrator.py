@@ -72,7 +72,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import (RenderSettings, Tracker, FilterMode, EnvmapMode,
-                      SpectralMode)
+                      SpectralMode, ShadowMode)
 from ..ops import rng as rngmod
 from ..ops import vecmath as vm
 from ..ops import aabb
@@ -208,6 +208,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
     """
     linear = settings.filter_mode == FilterMode.LINEAR
     op_linear = settings.opacity_filter == FilterMode.LINEAR
+    binary_shadow = settings.shadow_mode == ShadowMode.BINARY
     use_decomp = settings.tracker == Tracker.DECOMP
     local_bounds = settings.tracker != Tracker.DELTA
     use_mis = settings.envmap_mode == EnvmapMode.MIS
@@ -427,7 +428,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             # smooth interiors (WDAS-class clouds, Δd ~ few/255) get long
             # segments too.
             rho_sel = _w(st.shadow, st.density_prime, density_prime)
-            ev_budget = jnp.float32(1.0)
+            ev_budget = jnp.float32(settings.ev_budget)
             d_max = bnd[..., 0]
             d_min = bnd[..., 1]
             seg_len = jnp.full_like(t_near, radii[0])
@@ -633,13 +634,23 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         throughput = _w(real, throughput * w_real, throughput)
         throughput = _w(null, throughput * w_null, throughput)
 
-        # shadow event: deterministic residual ratio weight
-        # w_ch = 1 - σ_r,ch(x)/σ̄_r with σ_r,ch(x) = σ_t[ch]·(ρ(x)·ρ' −
-        # ρ'·d_min); d_min is stored in the d_max register in shadow mode.
-        w_sh = 1.0 - (scene.mat.sigma_t[None, :]
-                      * (den - st.density_prime * st.d_max)[:, None]
-                      * st.inv_sigma[:, None])
-        w_sh = jnp.maximum(w_sh, 0.0)
+        # shadow event: the residual collision probability per channel is
+        # p_ch = σ_r,ch(x)/σ̄_r with σ_r,ch(x) = σ_t[ch]·(ρ(x)·ρ' − ρ'·d_min)
+        # (d_min is stored in the d_max register in shadow mode).
+        p_kill = ((scene.mat.sigma_t[None, :]
+                   * (den - st.density_prime * st.d_max)[:, None])
+                  * st.inv_sigma[:, None])
+        if binary_shadow:
+            # Tr_spectral (kernel.cu:754-808): one shared acceptance draw
+            # kills channel ch with probability p_ch — transmittance flags
+            # are 0/1 and the march stops at the first event where every
+            # channel is dead (the dead-shadow exit below), which makes
+            # optically thick chords ~O(1) events like the reference.
+            rng2, u3 = _draw(rng2, ev_sh)
+            w_sh = (u3[:, None] >= p_kill).astype(jnp.float32)
+        else:
+            # deterministic expected-value weight w_ch = 1 - p_ch
+            w_sh = jnp.maximum(1.0 - p_kill, 0.0)
         sh_tr = _w(ev_sh, st.sh_tr * w_sh, st.sh_tr)
 
         # dead-shadow termination: once every channel's weight is exactly 0
@@ -681,10 +692,17 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         st = step_inner(scene, st)
         return st, film
 
+    scatter_inline = settings.scatter_inline and not use_mis
+
     def step_inner(scene: Scene, st: PathState) -> PathState:
         st = segment_setup(scene, st)
         for _ in range(settings.marches_per_step):
             st = march(scene, st)
+            if scatter_inline:
+                # immediate HG scatter: the lane re-enters NEW_SEGMENT next
+                # pass instead of idling until housekeeping (same per-lane
+                # draw sequence, just consumed earlier)
+                st = do_scatter(st, st.status == SCATTER)
         return st
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from cuda_volpath_tpu.config import (Param, RenderSettings, Tracker,
-                                     EnvmapMode, SpectralMode)
+                                     EnvmapMode, SpectralMode, ShadowMode)
 from cuda_volpath_tpu.render import camera as cammod
 from cuda_volpath_tpu.render import film as filmmod
 from cuda_volpath_tpu.render import integrator
@@ -98,6 +98,27 @@ def test_trackers_agree(quantize):
     vals = list(means.values())
     for v in vals[1:]:
         np.testing.assert_allclose(v, vals[0], rtol=0.06)
+
+
+def test_shadow_modes_agree():
+    """BINARY (the reference's Tr_spectral, kernel.cu:754-808) and RATIO
+    (its expected-value refinement) are unbiased estimators of the same
+    shadow transmittance — sun-lit image means must agree."""
+    vol = _blob_volume()
+    mat = materials_from_param(Param(density=25.0, albedo=(0.95, 0.9, 0.85),
+                                     sigma_t=(1.0, 0.8, 0.6), g=0.3))
+    scene = make_scene(vol, mat, envmap=envmod.constant((0.0, 0.0, 0.0)),
+                       sun_dir=(0.3, 0.9, 0.3), sun_power=(4.0, 4.0, 4.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    means = {}
+    for mode in [ShadowMode.RATIO, ShadowMode.BINARY]:
+        settings = RenderSettings(shadow_mode=mode, sun_light=True,
+                                  precompute_opacity=False,
+                                  steps_per_launch=4)
+        fm = _render(scene, settings, w=10, h=10, spp=64, pool=2048)
+        means[mode] = np.asarray(filmmod.image(fm)).mean()
+    np.testing.assert_allclose(means[ShadowMode.BINARY],
+                               means[ShadowMode.RATIO], rtol=0.08)
 
 
 def test_deterministic_and_pool_invariant():
