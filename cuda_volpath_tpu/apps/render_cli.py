@@ -45,7 +45,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--filter", default="nearest",
                    choices=["nearest", "linear"],
                    help="density filtering ('f' toggle in the reference)")
-    p.add_argument("--shadow", default="ratio",
+    p.add_argument("--shadow", default="binary",
                    choices=["ratio", "binary"],
                    help="shadow transmittance estimator: 'binary' is the "
                    "reference's Tr_spectral (kernel.cu:754) with early "
@@ -82,6 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="apply the edge-aware denoiser post-pass")
     p.add_argument("--checkpoint", default=None,
                    help="film checkpoint path (.npz); resumes if it exists")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into "
+                   "DIR (the TPU-native analog of the reference's "
+                   "per-launch Msamples/s timer + SdkTimer, "
+                   "volumeRender.cpp:634,78-94; open with TensorBoard or "
+                   "Perfetto)")
     p.add_argument("--report-every", type=float, default=2.0,
                    help="seconds between throughput reports")
     return p
@@ -196,8 +202,19 @@ def main(argv=None) -> int:
               f"{done / npix:.1f}/{args.spp} spp", file=sys.stderr)
         meter["t"], meter["count"] = now, done
 
-    film = integrator.render(scene, cam, settings, width, height, args.spp,
-                             pool=pool, film=film, progress_cb=progress)
+    if args.profile:
+        import contextlib
+        import jax
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        film = integrator.render(scene, cam, settings, width, height,
+                                 args.spp, pool=pool, film=film,
+                                 progress_cb=progress)
+    if args.profile:
+        print(f"# profiler trace -> {args.profile}", file=sys.stderr)
     total = time.time() - t0
     print(f"# rendered {args.spp} spp in {total:.1f}s "
           f"({npix * args.spp / total / 1e6:.3f} M samples/s)",

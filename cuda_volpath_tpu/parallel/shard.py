@@ -100,7 +100,12 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
         launches += 1
         if max_launches is not None and launches >= max_launches:
             break
+        # a DONE lane still owns a pixel until the next housekeeping pass
+        # retires it — require all-flushed too, else the last samples of a
+        # launch are lost (lanes can go DONE mid-step, e.g. inline scatters
+        # hitting max depth or escapes shading at the following retire)
         if bool(jnp.all(st.status == integrator.DONE)) and \
+                bool(jnp.all(st.pixel < 0)) and \
                 bool(jnp.all(st.next_item >= st.total_items)):
             break
 

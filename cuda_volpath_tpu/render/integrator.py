@@ -29,14 +29,18 @@ elements per micro-step and (b) micro-steps per camera sample):
   ``search_radius`` (and one majorant-floor free-flight draw) at a time
   (kernel.cu:1654 ``fminf(smallest_tmax, search_radius)``, :2044 1e-4
   majorant floor).
-* Shadow transmittance is **segmented residual ratio tracking**: per
-  segment the control medium ``σ_c = σ_t·ρ·d_min`` contributes an exact
-  ``exp(-σ_c·len)`` factor and only the residual ``σ_t·ρ·(ρ(x)-d_min)`` is
-  tracked, with the deterministic weight ``1 - σ_r(x)/σ̄_r`` per event.
-  This is the expected-value refinement of the reference's binary
-  ``Tr_spectral`` (kernel.cu:754-808): identical expectation per channel
-  (sample reuse across channels preserved), strictly lower variance, and
-  homogeneous interior segments cost no events at all.
+* Shadow transmittance is **segmented**: per segment the control medium
+  ``σ_c = σ_t·ρ·d_min`` contributes an exact ``exp(-σ_c·len)`` factor
+  (homogeneous interior segments cost no events at all) and only the
+  residual ``σ_t·ρ·(ρ(x)-d_min)`` is tracked.  Two estimators for the
+  residual (config.ShadowMode): **BINARY** — the reference's
+  ``Tr_spectral`` (kernel.cu:754-808), one shared draw kills channel ch
+  with probability ``σ_r,ch(x)/σ̄_r`` so optically thick chords terminate
+  after ~one real collision (measured 4.5× throughput on the dense-cloud
+  scene; the default, like the reference) — and **RATIO**, the
+  expected-value refinement with the deterministic weight
+  ``1 - σ_r,ch(x)/σ̄_r`` per event: identical expectation, strictly lower
+  variance, but it marches every event of the chord in smooth media.
 * Micro-steps are Python-unrolled inside one jit (not lax.fori_loop): XLA
   lowers gathers inside loop bodies to a serialized path that is orders of
   magnitude slower than top-level dynamic gathers.

@@ -17,9 +17,10 @@ from cuda_volpath_tpu.render import film as filmmod
 from cuda_volpath_tpu.render import integrator
 from cuda_volpath_tpu import scenes
 
-# Locked on 2026-08-16 (XLA-CPU, reference-parity RNG).
-GOLDEN_MEAN = np.array([0.34006315, 0.43852228, 0.5854404], np.float32)
-GOLDEN_HEAT = 0.9609375
+# Locked on 2026-08-16 (XLA-CPU, reference-parity RNG; defaults =
+# decomposition tracking + BINARY Tr_spectral shadows).
+GOLDEN_MEAN = np.array([0.34556392, 0.44381145, 0.59030646], np.float32)
+GOLDEN_HEAT = 1.05078125
 
 
 def _render_fixed():
