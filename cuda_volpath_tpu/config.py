@@ -157,7 +157,10 @@ class RenderSettings:
     steps_per_launch: int = 64
     # Retire/spawn cadence in micro-steps: the work-queue cumsum + film
     # scatter are whole-pool ops, amortized over several march steps.
-    spawn_every: int = 8
+    # Swept on v5e: 8 was optimal when scatters waited for housekeeping;
+    # with scatter_inline the balance moved to 12 (4→337k, 8→484k,
+    # 12→493k, 16→488k samples/s on the flagship scene).
+    spawn_every: int = 12
     # March sub-steps per segment-setup pass: null-collision chains run
     # several events per fetch of the bound pyramid, amortizing setup,
     # housekeeping and intersect costs (lanes whose segment ends idle the
