@@ -48,7 +48,10 @@ def main():
     npix = width * height
     _, launch = integrator.make_step_fn(settings, width, height)
     st = integrator.init_state(pool)
-    st = st.replace(total_items=jnp.full((1,), npix * 100000, jnp.int32))
+    # effectively-infinite work queue, clamped to int32 range (npix * spp
+    # can overflow and wrap negative, which silently spawns nothing)
+    st = st.replace(total_items=jnp.full(
+        (1,), min(npix * 100000, 2**31 - 1), jnp.int32))
     film = filmmod.make_film(width, height)
 
     # compile + pipeline warmup (fill the pool and reach steady state).

@@ -89,6 +89,9 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
     n_dev = mesh.devices.size
     npix = width * height
     total = npix * spp
+    if total > 2**31 - 1:
+        raise ValueError(f"work queue {total} items overflows int32; "
+                         "render in chunks of fewer spp")
 
     launch = make_sharded_launch(settings, cam, width, height, mesh)
     st = init_sharded_state(pool_per_device, n_dev, total)

@@ -767,7 +767,11 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, width, height)
     st = init_state(pool)
-    st = st.replace(total_items=jnp.full((1,), npix * spp, jnp.int32))
+    total = npix * spp
+    if total > 2**31 - 1:
+        raise ValueError(f"work queue {total} items overflows int32; "
+                         "render in chunks of fewer spp")
+    st = st.replace(total_items=jnp.full((1,), total, jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
 

@@ -213,3 +213,14 @@ def test_heat_channel_and_counts():
     assert np.asarray(filmmod.spp(fm)).min() == 3
     ht = np.asarray(filmmod.heat(fm))
     assert ht.min() >= 0 and np.isfinite(ht).all()
+
+
+def test_work_queue_overflow_guard():
+    """npix*spp beyond int32 must raise, not silently spawn nothing."""
+    vol = _blob_volume(8)
+    mat = materials_from_param(Param(density=5.0))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG))
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
+    with pytest.raises(ValueError, match="overflows int32"):
+        integrator.render(scene, cammod.make_camera(), settings,
+                          8192, 8192, 100000, pool=256)
