@@ -202,13 +202,11 @@ def main(argv=None) -> int:
               f"{done / npix:.1f}/{args.spp} spp", file=sys.stderr)
         meter["t"], meter["count"] = now, done
 
+    import contextlib
+    trace_cm = contextlib.nullcontext()
     if args.profile:
-        import contextlib
         import jax
         trace_cm = jax.profiler.trace(args.profile)
-    else:
-        import contextlib
-        trace_cm = contextlib.nullcontext()
     with trace_cm:
         film = integrator.render(scene, cam, settings, width, height,
                                  args.spp, pool=pool, film=film,

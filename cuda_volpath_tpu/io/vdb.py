@@ -59,6 +59,73 @@ def _blosc_memcpy_frame(payload: bytes) -> bytes:
     return header + payload
 
 
+def lz4_compress_block(data: bytes) -> bytes:
+    """Greedy LZ4 block encoder (spec-conformant: the block ends with a
+    literals-only sequence and no match starts within the last 5 bytes).
+    Small and slow — used for writing test/interchange .vdb files."""
+    n = len(data)
+    out = bytearray()
+    table = {}
+    i = anchor = 0
+
+    def emit(lit_start, lit_len, mlen_total=None, offset=None):
+        token_lit = min(lit_len, 15)
+        token_m = 0 if mlen_total is None else min(mlen_total - 4, 15)
+        out.append((token_lit << 4) | token_m)
+        if token_lit == 15:
+            rem = lit_len - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[lit_start:lit_start + lit_len])
+        if mlen_total is not None:
+            out.extend(offset.to_bytes(2, "little"))
+            if token_m == 15:
+                rem = mlen_total - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    limit = n - 5                      # last 5 bytes must be literals
+    while i + 4 <= limit:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF:
+            m = i + 4
+            c = cand + 4
+            while m < limit and data[m] == data[c]:
+                m += 1
+                c += 1
+            emit(anchor, i - anchor, m - i, i - cand)
+            anchor = i = m
+        else:
+            i += 1
+    emit(anchor, n - anchor)
+    return bytes(out)
+
+
+def _blosc_lz4_frame(payload: bytes, typesize: int, shuffle: bool) -> bytes:
+    """Blosc1 frame with one LZ4 block (optional byte shuffle)."""
+    block = payload
+    if shuffle and typesize > 1:
+        elems = len(payload) // typesize
+        arr = np.frombuffer(payload[:elems * typesize], np.uint8)
+        block = (arr.reshape(elems, typesize).T.tobytes()
+                 + payload[elems * typesize:])
+    comp = lz4_compress_block(block)
+    if len(comp) >= len(block):        # blosc stores incompressible raw
+        comp = block
+    flags = (0x1 if shuffle and typesize > 1 else 0) | (1 << 5)  # LZ4
+    header = struct.pack("<BBBBIII", 2, 1, flags, typesize,
+                         len(payload), max(len(payload), 1),
+                         16 + 4 + 4 + len(comp))
+    return (header + struct.pack("<I", 16 + 4)
+            + struct.pack("<i", len(comp)) + comp)
+
+
 def _codec_frame(raw: bytes, compression: int) -> bytes:
     """io::zipToStream / bloscToStream framing: int64 size + payload;
     negative size = uncompressed passthrough."""
@@ -68,7 +135,7 @@ def _codec_frame(raw: bytes, compression: int) -> bytes:
             return struct.pack("<q", len(comp)) + comp
         return struct.pack("<q", -len(raw)) + raw
     if compression & COMPRESS_BLOSC:
-        frame = _blosc_memcpy_frame(raw)
+        frame = _blosc_lz4_frame(raw, 4, shuffle=True)
         return struct.pack("<q", len(frame)) + frame
     return raw
 
@@ -101,6 +168,7 @@ class _Node:
         self.dim = 1 << log2
         self.child_span = child_span
         self.children = {}          # bit index -> child (_Node or leaf dict)
+        self.tiles = {}             # bit index -> constant active tile
 
     def bit(self, xyz) -> int:
         x = (xyz[0] - self.origin[0]) // self.child_span
@@ -110,15 +178,14 @@ class _Node:
         return (x << (2 * self.log2)) | (y << self.log2) | z
 
 
-def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
-              compression: int = COMPRESS_ZIP, half: bool = False,
-              grid_name: str = "density", voxel_size: float = 1.0,
-              background: float = 0.0) -> None:
-    """Write a dense (Nz, Ny, Nx) float array as a .vdb FloatGrid.
+def _grid_blob(dense: np.ndarray, origin, compression: int, half: bool,
+               voxel_size: float, background: float,
+               tiles=()) -> bytes:
+    """Serialize one FloatGrid body (metadata + transform + tree).
 
-    Voxels with value != background are marked active (the reader densifies
-    active voxels only, mirroring the reference's read_voxels,
-    vdbloader/load_vdb.cpp:95-117).
+    ``tiles`` is a sequence of ((x, y, z), value) mid-level constant tiles
+    (128-voxel span, the pruned-subtree representation openvdb's prune
+    produces); origins must be 128-aligned and not overlap leaf data.
     """
     dense = np.asarray(dense, np.float32)
     nz, ny, nx = dense.shape
@@ -159,6 +226,14 @@ def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
                     "active": active.reshape(-1),
                 }
 
+    for torigin, tval in tiles:
+        tkey = _leaf_key(torigin, 12)
+        top = tops.setdefault(tkey, _Node(tkey, 5, mid_span))
+        b = top.bit(torigin)
+        if b in top.children:
+            raise ValueError("tile overlaps voxel data")
+        top.tiles[b] = float(tval)
+
     # ---- serialize the grid body
     body = bytearray()
     body += struct.pack("<I", compression)          # per-grid compression
@@ -169,8 +244,9 @@ def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
     body += vec(s) + vec(s) + vec(1.0 / s) + vec(1.0 / s ** 2) \
         + vec(0.5 / s)
     body += struct.pack("<I", 1)                    # buffer count
-    body += _values_bytes(np.asarray([background]), half)
-    body += struct.pack("<II", 0, len(tops))        # tiles, children
+    # RootNode background is a plain float regardless of saveFloatAsHalf
+    body += struct.pack("<f", background)
+    body += struct.pack("<II", 0, len(tops))        # root tiles, children
 
     leaves_in_order = []
 
@@ -180,10 +256,13 @@ def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
         value_mask = np.zeros(n, bool)
         for b in node.children:
             child_mask[b] = True
+        tile_vals = np.full(n, background, np.float32)
+        for b, v in node.tiles.items():
+            value_mask[b] = True
+            tile_vals[b] = v
         out = bytearray()
         out += _mask_bytes(child_mask)
         out += _mask_bytes(value_mask)
-        tile_vals = np.full(n, background, np.float32)
         out += _masked_buffer(tile_vals, value_mask, background,
                               compression, half)
         for b in sorted(node.children):
@@ -204,7 +283,17 @@ def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
         body += _masked_buffer(leaf["values"], leaf["active"], background,
                                compression, half)
 
-    # ---- archive
+    return bytes(body)
+
+
+def write_vdb_multi(path: str, grids, compression: int = COMPRESS_ZIP,
+                    half: bool = False, voxel_size: float = 1.0,
+                    background: float = 0.0) -> None:
+    """Write several FloatGrids into one archive.
+
+    ``grids`` is a sequence of dicts with keys ``name``, ``dense`` and
+    optionally ``origin`` and ``tiles`` (see ``_grid_blob``).
+    """
     out = bytearray()
     out += struct.pack("<q", MAGIC)
     out += struct.pack("<I", FILE_VERSION)
@@ -213,22 +302,38 @@ def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
     out += struct.pack("<B", compression)
     out += b"0" * 36                                # ascii uuid placeholder
     out += struct.pack("<i", 0)                     # archive metadata
-    out += struct.pack("<I", 1)                     # grid count
+    out += struct.pack("<I", len(grids))            # grid count
 
     type_name = "Tree_float_5_4_3" + ("_HalfFloat" if half else "")
-    desc = bytearray()
-    desc += _string(grid_name)
-    desc += _string(type_name)
-    desc += _string("")                             # instance parent
-    desc_pos = len(out)
-    desc += struct.pack("<QQQ", 0, 0, 0)            # patched below
-    out += desc
-
-    grid_pos = len(out)
-    out += body
-    end_pos = len(out)
-    struct.pack_into("<QQQ", out, desc_pos + len(desc) - 24,
-                     grid_pos, grid_pos, end_pos)
+    for g in grids:
+        body = _grid_blob(np.asarray(g["dense"], np.float32),
+                          g.get("origin", (0, 0, 0)), compression, half,
+                          voxel_size, background, tiles=g.get("tiles", ()))
+        out += _string(g["name"])
+        out += _string(type_name)
+        out += _string("")                          # instance parent
+        desc_pos = len(out)
+        out += struct.pack("<QQQ", 0, 0, 0)
+        grid_pos = len(out)
+        out += body
+        end_pos = len(out)
+        struct.pack_into("<QQQ", out, desc_pos, grid_pos, grid_pos, end_pos)
 
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def write_vdb(path: str, dense: np.ndarray, origin=(0, 0, 0),
+              compression: int = COMPRESS_ZIP, half: bool = False,
+              grid_name: str = "density", voxel_size: float = 1.0,
+              background: float = 0.0, tiles=()) -> None:
+    """Write a dense (Nz, Ny, Nx) float array as a .vdb FloatGrid.
+
+    Voxels with value != background are marked active (the reader densifies
+    active voxels only, mirroring the reference's read_voxels,
+    vdbloader/load_vdb.cpp:95-117).
+    """
+    write_vdb_multi(path, [{"name": grid_name, "dense": dense,
+                            "origin": origin, "tiles": tiles}],
+                    compression=compression, half=half,
+                    voxel_size=voxel_size, background=background)

@@ -169,8 +169,9 @@ std::vector<uint8_t> bloscDecompress(const uint8_t* src, size_t n) {
     if (16 + nblocks * 4 > n) throw ParseError("blosc: short offsets");
     std::vector<uint8_t> tmp(nbytes);
     for (size_t b = 0; b < nblocks; ++b) {
-        uint32_t off;
-        std::memcpy(&off, src + 16 + 4 * b, 4);
+        uint32_t off32;
+        std::memcpy(&off32, src + 16 + 4 * b, 4);
+        size_t off = off32;  // widen before bounds arithmetic (no wrap)
         size_t bsize = std::min<size_t>(blocksize, nbytes - b * blocksize);
         if (off + 4 > n) throw ParseError("blosc: bad block offset");
         int32_t csize;
@@ -457,6 +458,12 @@ struct Leaf {           // 8^3
     std::vector<float> values;  // 512, dense
 };
 
+struct Tile {           // constant active region (pruned subtree)
+    Coord origin;
+    int32_t span;
+    float value;
+};
+
 struct DenseVolume {
     int64_t nx = 0, ny = 0, nz = 0;
     int32_t minx = 0, miny = 0, minz = 0;
@@ -466,6 +473,7 @@ struct DenseVolume {
 struct TreeReader {
     ValueCodec codec;
     std::vector<Leaf> leaves;
+    std::vector<Tile> tiles;    // active constant tiles (pruned regions)
     float background = 0.f;
 
     // dims: node log2 dims of Tree_float_5_4_3 internal levels
@@ -480,22 +488,19 @@ struct TreeReader {
         valueMask.load(r, n);
 
         // tile values for non-child slots
+        std::vector<float> tileVals;
         if (codec.fileVersion < VER_NODE_MASK_COMPRESSION) {
             // older: plain array of n values (possibly zipped)
-            (void)codec.readValues(r, n);
+            tileVals = codec.readValues(r, n);
         } else {
-            (void)codec.readMaskedBuffer(r, valueMask, n, background);
+            tileVals = codec.readMaskedBuffer(r, valueMask, n, background);
         }
-        // NOTE: tiles are constant regions; for the dense bake we only
-        // honor *active* tiles, rasterized after bbox is known.  For the
-        // WDAS-class clouds OpenVDB writes voxel leaves, not fat tiles, so
-        // active tiles are rare; we record them as synthetic leaves below.
-        // (Inactive tiles are background by construction.)
 
-        // children, in bit order
+        // children + active tiles, in bit order.  Active non-child slots
+        // are pruned constant regions (openvdb::tools::prune collapses
+        // uniform subtrees into tiles) — rasterized in bakeDense.
         const int dim = 1 << log2;
         for (size_t i = 0; i < n; ++i) {
-            if (!childMask.test(i)) continue;
             // bit index -> (x, y, z) offsets: OpenVDB packs as
             // i = x*dim^2 + y*dim + z  (x major)
             int32_t xi = int32_t(i >> (2 * log2));
@@ -503,10 +508,16 @@ struct TreeReader {
             int32_t zi = int32_t(i & (dim - 1));
             Coord corg{origin.x + xi * childDim, origin.y + yi * childDim,
                        origin.z + zi * childDim};
-            if (level == 2) {
-                readInternal(r, corg, 1);
-            } else {
-                readLeafTopology(r, corg);
+            if (childMask.test(i)) {
+                if (level == 2) {
+                    readInternal(r, corg, 1);
+                } else {
+                    readLeafTopology(r, corg);
+                }
+            } else if (valueMask.test(i)) {
+                tiles.push_back(Tile{corg, childDim,
+                                     i < tileVals.size() ? tileVals[i]
+                                                         : background});
             }
         }
     }
@@ -532,7 +543,7 @@ struct TreeReader {
 
 DenseVolume bakeDense(const TreeReader& tree) {
     DenseVolume v;
-    if (tree.leaves.empty()) return v;
+    if (tree.leaves.empty() && tree.tiles.empty()) return v;
     int32_t minx = INT32_MAX, miny = INT32_MAX, minz = INT32_MAX;
     int32_t maxx = INT32_MIN, maxy = INT32_MIN, maxz = INT32_MIN;
     for (const auto& lf : tree.leaves) {
@@ -548,6 +559,14 @@ DenseVolume bakeDense(const TreeReader& tree) {
             minz = std::min(minz, z); maxz = std::max(maxz, z);
         }
     }
+    for (const auto& t : tree.tiles) {
+        minx = std::min(minx, t.origin.x);
+        maxx = std::max(maxx, t.origin.x + t.span - 1);
+        miny = std::min(miny, t.origin.y);
+        maxy = std::max(maxy, t.origin.y + t.span - 1);
+        minz = std::min(minz, t.origin.z);
+        maxz = std::max(maxz, t.origin.z + t.span - 1);
+    }
     if (minx > maxx) return v;
     v.minx = minx; v.miny = miny; v.minz = minz;
     v.nx = maxx - minx + 1;
@@ -556,6 +575,19 @@ DenseVolume bakeDense(const TreeReader& tree) {
     if (v.nx * v.ny * v.nz > (int64_t(1) << 33))
         throw ParseError("dense volume too large");
     v.data.assign(size_t(v.nx * v.ny * v.nz), 0.f);
+    for (const auto& t : tree.tiles) {   // constant pruned regions first
+        int64_t x0 = std::max<int64_t>(t.origin.x - minx, 0);
+        int64_t y0 = std::max<int64_t>(t.origin.y - miny, 0);
+        int64_t z0 = std::max<int64_t>(t.origin.z - minz, 0);
+        int64_t x1 = std::min<int64_t>(t.origin.x + t.span - minx, v.nx);
+        int64_t y1 = std::min<int64_t>(t.origin.y + t.span - miny, v.ny);
+        int64_t z1 = std::min<int64_t>(t.origin.z + t.span - minz, v.nz);
+        for (int64_t z = z0; z < z1; ++z)
+            for (int64_t y = y0; y < y1; ++y)
+                std::fill(v.data.begin() + ((z * v.ny + y) * v.nx + x0),
+                          v.data.begin() + ((z * v.ny + y) * v.nx + x1),
+                          t.value);
+    }
     for (const auto& lf : tree.leaves) {
         for (int i = 0; i < 512; ++i) {
             // reference read_voxels copies *active* voxels only
@@ -594,9 +626,14 @@ DenseVolume readArchive(Reader& r, int wantIndex) {
     r.get<uint32_t>();  // library minor
     bool hasGridOffsets = r.get<uint8_t>() != 0;
 
-    uint32_t compression = COMPRESS_ZIP;  // pre-220 default
-    if (fileVersion >= VER_SELECTIVE_COMPRESSION)
+    // the compression byte is present in every supported version; before
+    // 220 it is a plain isCompressed bool (zlib or nothing)
+    uint32_t compression;
+    if (fileVersion >= VER_SELECTIVE_COMPRESSION) {
         compression = r.get<uint8_t>();
+    } else {
+        compression = r.get<uint8_t>() ? COMPRESS_ZIP : COMPRESS_NONE;
+    }
 
     if (fileVersion >= VER_BOOST_UUID) {
         r.skip(36);  // ascii uuid
@@ -672,16 +709,18 @@ DenseVolume readArchive(Reader& r, int wantIndex) {
     uint32_t bufferCount = r.get<uint32_t>();
     if (bufferCount != 1)
         throw ParseError("multi-buffer trees unsupported");
-    tree.background = d.halfFloats
-        ? halfToFloat(r.get<uint16_t>())
-        : r.get<float>();
+    // RootNode background/tile values are plain floats regardless of the
+    // save-float-as-half flag (toHalf applies only to the node buffers
+    // written through io::writeCompressedValues)
+    tree.background = r.get<float>();
     uint32_t numTiles = r.get<uint32_t>();
     uint32_t numChildren = r.get<uint32_t>();
     for (uint32_t t = 0; t < numTiles; ++t) {
         Coord c{r.get<int32_t>(), r.get<int32_t>(), r.get<int32_t>()};
-        (void)c;
-        if (d.halfFloats) r.get<uint16_t>(); else r.get<float>();
-        r.get<uint8_t>();  // active flag
+        float val = r.get<float>();
+        bool active = r.get<uint8_t>() != 0;
+        if (active)  // root tiles span one whole top-level node (4096^3)
+            tree.tiles.push_back(Tile{c, 1 << 12, val});
     }
     for (uint32_t c = 0; c < numChildren; ++c) {
         Coord org{r.get<int32_t>(), r.get<int32_t>(), r.get<int32_t>()};
@@ -700,8 +739,8 @@ const char* vdb_last_error() { return g_error.c_str(); }
 
 void vdb_free(float* p) { std::free(p); }
 
-float* vdb_read_first_float_grid(const char* path, long* nx, long* ny,
-                                 long* nz) {
+float* vdb_read_float_grid(const char* path, long grid_index, long* nx,
+                           long* ny, long* nz) {
     g_error.clear();
     *nx = *ny = *nz = 0;
     FILE* f = std::fopen(path, "rb");
@@ -721,7 +760,7 @@ float* vdb_read_first_float_grid(const char* path, long* nx, long* ny,
     }
     try {
         Reader r{buf.data(), buf.data() + buf.size(), buf.data()};
-        DenseVolume v = readArchive(r, 0);
+        DenseVolume v = readArchive(r, int(grid_index));
         if (v.data.empty()) {
             g_error = "empty grid";
             return nullptr;
@@ -741,6 +780,11 @@ float* vdb_read_first_float_grid(const char* path, long* nx, long* ny,
         g_error = e.what();
         return nullptr;
     }
+}
+
+float* vdb_read_first_float_grid(const char* path, long* nx, long* ny,
+                                 long* nz) {
+    return vdb_read_float_grid(path, 0, nx, ny, nz);
 }
 
 }  // extern "C"

@@ -377,7 +377,9 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             done_env = pend & st.env_stage
             st, sc_now = env_nee_start(scene, st, pend & ~st.env_stage)
             st = do_scatter(st, done_env | sc_now)
-        else:
+        elif not scatter_inline:
+            # with inline scatter no lane can still be pending here — skip
+            # the pool-wide HG pass entirely
             st = do_scatter(st, pend)
         st, film = retire(scene, st, film)
         st = spawn(scene, cam, st)

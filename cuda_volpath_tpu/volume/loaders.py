@@ -81,16 +81,17 @@ def load_vdb(path: str, quantized: bool = True, grid_index: int = 0
 
 def _load_vdb_native(lib: ctypes.CDLL, path: str, grid_index: int
                      ) -> Optional[np.ndarray]:
-    lib.vdb_read_first_float_grid.restype = ctypes.c_void_p
-    lib.vdb_read_first_float_grid.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+    lib.vdb_read_float_grid.restype = ctypes.c_void_p
+    lib.vdb_read_float_grid.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
     lib.vdb_free.argtypes = [ctypes.c_void_p]
     nx = ctypes.c_long()
     ny = ctypes.c_long()
     nz = ctypes.c_long()
-    ptr = lib.vdb_read_first_float_grid(path.encode(), ctypes.byref(nx),
-                                        ctypes.byref(ny), ctypes.byref(nz))
+    ptr = lib.vdb_read_float_grid(path.encode(), grid_index,
+                                  ctypes.byref(nx), ctypes.byref(ny),
+                                  ctypes.byref(nz))
     if not ptr:
         return None
     n = nx.value * ny.value * nz.value

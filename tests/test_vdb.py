@@ -121,42 +121,17 @@ def test_quantize_matches_reference_semantics(tmp_path, libvdb):
     np.testing.assert_array_equal(q, want)
 
 
-def test_blosc_lz4_block_decode(tmp_path, libvdb):
-    """Exercise the hand-rolled LZ4 path: craft a blosc frame with a real
-    LZ4-compressed block (compressible payload) through a tiny LZ4 encoder
-    good enough for the test."""
-    def lz4_encode_runs(data: bytes) -> bytes:
-        # encode as: 4 literals, then one long match of the first 4 bytes
-        # repeated — valid only for our constructed payload
-        assert len(data) >= 8 and data[:4] * (len(data) // 4) == data
-        out = bytearray()
-        mlen = len(data) - 4
-        token_m = min(mlen - 4, 15)
-        out.append((4 << 4) | token_m)
-        out += data[:4]
-        out += (4).to_bytes(2, "little")       # offset 4
-        rem = mlen - 4 - token_m
-        if token_m == 15:
-            while rem >= 255:
-                out.append(255)
-                rem -= 255
-            out.append(rem)
-        return bytes(out)
+def test_lz4_encoder_roundtrip_pure_python():
+    """The writer's LZ4 block encoder against an independent decoder."""
+    import numpy as np
+    rng = np.random.default_rng(1)
+    payloads = [
+        b"\x01\x02\x03\x04" * 200,                       # repetitive
+        bytes(rng.integers(0, 256, 300, dtype=np.uint8)),  # incompressible
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),   # low entropy
+        b"abc",                                            # tiny
+    ]
 
-    import struct
-    payload = b"\x01\x02\x03\x04" * 128        # 512 bytes, one leaf buffer?
-    comp = lz4_encode_runs(payload)
-    frame = struct.pack("<BBBBIII", 2, 1, 1 << 5, 1, len(payload),
-                        len(payload), 16 + 4 + 4 + len(comp))
-    frame += struct.pack("<I", 16 + 4)          # block offset
-    frame += struct.pack("<i", len(comp)) + comp
-
-    # decode via the shared library's internal path by writing a file whose
-    # single leaf buffer is this frame: emulate through ctypes? Simpler:
-    # verify via a zlib-equivalent roundtrip of a file we can fully craft.
-    # Here we just sanity-check the frame against python's expectations.
-    assert len(frame) >= 16
-    # byte-identical expansion check of our encoder (independent decode)
     def lz4_decode(src, n):
         sp, dp = 0, bytearray()
         while sp < len(src):
@@ -181,4 +156,50 @@ def test_blosc_lz4_block_decode(tmp_path, libvdb):
             for _ in range(ml):
                 dp.append(dp[-off])
         return bytes(dp)
-    assert lz4_decode(comp, len(payload)) == payload
+
+    for p in payloads:
+        comp = vdbw.lz4_compress_block(p)
+        assert lz4_decode(comp, len(p)) == p
+
+
+def test_roundtrip_blosc_lz4_native(tmp_path, libvdb):
+    """Compressible volume → real LZ4 blosc frames (shuffle on) decoded by
+    the native reader's hand-rolled LZ4/unshuffle path."""
+    n = 24
+    vol = np.zeros((n, n, n), np.float32)
+    vol[4:20, 4:20, 4:20] = 0.5            # uniform block: compresses well
+    vol[10, 10, 10] = 2.0
+    got = roundtrip(tmp_path, vol, compression=vdbw.COMPRESS_BLOSC)
+    np.testing.assert_array_equal(got, crop_to_active(vol))
+
+
+def test_roundtrip_tiles(tmp_path, libvdb):
+    """Pruned constant regions (active mid-level tiles, 128-voxel span) are
+    rasterized by the reader — the failure mode is silent holes."""
+    vol = np.zeros((8, 8, 8), np.float32)
+    vol[2, 3, 4] = 1.5
+    path = tmp_path / "t.vdb"
+    vdbw.write_vdb(str(path), vol, origin=(0, 0, 0),
+                   tiles=[((128, 0, 0), 0.75)])
+    got = loaders.load_vdb(str(path), quantized=False)
+    # bbox spans the voxel data and the tile: x in [4, 255]
+    assert got.shape == (128, 128, 252)
+    assert got[2, 3, 0] == 1.5
+    tile = got[0:128, 0:128, 128 - 4:256 - 4]
+    np.testing.assert_array_equal(tile, np.full_like(tile, 0.75))
+    # in-bbox background stays zero
+    assert got[50, 50, 50] == 0.0
+
+
+def test_multi_grid_index(tmp_path, libvdb):
+    """grid_index selects among float grids in a multi-grid archive."""
+    a = np.zeros((6, 6, 6), np.float32); a[1, 1, 1] = 1.0
+    b = np.zeros((5, 5, 5), np.float32); b[2, 2, 2] = 7.0
+    path = tmp_path / "m.vdb"
+    vdbw.write_vdb_multi(str(path), [
+        {"name": "density", "dense": a},
+        {"name": "temperature", "dense": b}])
+    g0 = loaders.load_vdb(str(path), quantized=False, grid_index=0)
+    g1 = loaders.load_vdb(str(path), quantized=False, grid_index=1)
+    assert g0.shape == (1, 1, 1) and g0[0, 0, 0] == 1.0
+    assert g1.shape == (1, 1, 1) and g1[0, 0, 0] == 7.0

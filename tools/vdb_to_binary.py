@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Convert an OpenVDB file to this framework's dense binary volume format.
 
-Run this on any machine with OpenVDB python bindings installed (pyopenvdb
-or the openvdb wheel); the output `.bin` loads here via
+Uses the in-repo from-scratch native reader (native/vdb_reader.cpp, built
+with `make -C cuda_volpath_tpu/native libvdb.so`), falling back to
+pyopenvdb when installed; the output `.bin` loads here via
 ``cuda_volpath_tpu.volume.loaders.load_binary`` / the CLI's ``--volume``.
+(Note: `.vdb` files also load directly via ``--volume file.vdb``; this tool
+exists for pre-baking to skip parse cost.)
 
 Format (reference ``loadBinaryFile``, src/volumeRender.cpp:915-965):
     int32 w, int32 h, int32 d, then w*h*d float32 (x fastest).
@@ -18,18 +21,11 @@ import sys
 
 def convert(src: str, dst: str, grid_index: int = 0) -> None:
     import numpy as np
-    try:
-        import pyopenvdb as vdb
-    except ImportError:
-        import openvdb as vdb  # the 'openvdb' wheel spells it this way
-    grids = vdb.readAll(src)[0]
-    grid = grids[grid_index]
-    bbox = grid.evalActiveVoxelBoundingBox()
-    dims = [bbox[1][i] - bbox[0][i] + 1 for i in range(3)]
-    print(f"grid '{grid.name}' active bbox {bbox} -> dense {dims}")
-    arr = np.zeros(dims, np.float32)        # (x, y, z) indexing
-    grid.copyToArray(arr, ijk=bbox[0])
-    vol = np.transpose(arr, (2, 1, 0))      # -> (z, y, x), x fastest
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from cuda_volpath_tpu.volume import loaders
+    # the in-repo native reader first (no OpenVDB install needed),
+    # pyopenvdb as fallback — loaders.load_vdb tries both
+    vol = loaders.load_vdb(src, quantized=False, grid_index=grid_index)
     nz, ny, nx = vol.shape
     with open(dst, "wb") as f:
         f.write(struct.pack("<iii", nx, ny, nz))
