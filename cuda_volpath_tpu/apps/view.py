@@ -77,17 +77,22 @@ def main(argv=None) -> int:
 
     width, height = (int(v) for v in args.size.lower().split("x"))
     print(f"loading scene {args.scene}…", file=sys.stderr)
+    # no sun-opacity cache in the viewer: the sun is draggable ('u/y/U/Y')
+    # and the cache would need a re-bake on every move (the reference's
+    # opacity_dirty path, volumeRender.cpp:335-344)
+    sun_xy = [0.5, 0.2]
     if args.scene == "flagship":
-        scene, cam, param = scenes.flagship()
+        scene, cam, param = scenes.flagship(bake_opacity=False)
     elif args.scene == "cloud":
-        scene, cam, param = scenes.cloud()
+        scene, cam, param = scenes.cloud(bake_opacity=False)
     else:
         scene, cam, param = scenes.gaussian_blob(32)
     if args.density is not None:
         scene = scene.replace(mat=scene.mat.replace(
             density=jnp.float32(args.density)))
 
-    settings = RenderSettings(steps_per_launch=args.steps_per_launch)
+    settings = RenderSettings(steps_per_launch=args.steps_per_launch,
+                              precompute_opacity=False)
     pool = args.pool or min(width * height, 1 << 18)
     _, launch = integrator.make_step_fn(settings, width, height)
 
@@ -191,6 +196,22 @@ def main(argv=None) -> int:
                     m = make_material(*rs)
                     scene = scene.replace(mat=m.replace(
                         density=mat.density, brightness=mat.brightness))
+                    reset = True
+                elif ch in "uyUY":
+                    # sun placement (the reference's 'k'+drag sun mode,
+                    # volumeRender.cpp:807-817): re-bake the Hosek sky —
+                    # same shapes, so no recompile
+                    from ..lighting import sunsky as sunskymod
+                    step_xy = {"u": (0.05, 0), "y": (-0.05, 0),
+                               "U": (0, 0.05), "Y": (0, -0.05)}[ch]
+                    sun_xy[0] += step_xy[0]
+                    sun_xy[1] = float(np.clip(sun_xy[1] + step_xy[1],
+                                              0.01, 1.0))
+                    env, sdir, spow, sdisk = \
+                        sunskymod.make_envmap_and_sun(*sun_xy)
+                    scene = scene.replace(envmap=env, sun_dir=sdir,
+                                          sun_power=spow,
+                                          sun_power_original=sdisk)
                     reset = True
                 elif ch == "n":
                     denoise_on = not denoise_on

@@ -224,3 +224,21 @@ def test_work_queue_overflow_guard():
     with pytest.raises(ValueError, match="overflows int32"):
         integrator.render(scene, cammod.make_camera(), settings,
                           8192, 8192, 100000, pool=256)
+
+
+def test_scatter_inline_equivalent():
+    """Inline scatter consumes the same per-lane draw sequence as batched
+    scatter — images agree to fp-reassociation level."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=25.0, albedo=(0.95, 0.9, 0.85),
+                                     sigma_t=(1.0, 0.8, 0.6), g=0.3))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=(0.3, 0.9, 0.3), sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(9.0, 9.0, 9.0))
+    imgs = []
+    for si in (False, True):
+        settings = RenderSettings(precompute_opacity=False,
+                                  steps_per_launch=4, scatter_inline=si)
+        fm = _render(scene, settings, w=10, h=10, spp=24, pool=1024)
+        imgs.append(np.asarray(filmmod.image(fm)))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)
