@@ -32,7 +32,7 @@ def main():
     width, height = 960, 512
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     pool = int(os.environ.get("BENCH_POOL", str(1 << 20)))
-    steps = int(os.environ.get("BENCH_STEPS", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "128"))  # bigger launches: fewer tunnel pulls (+5% measured)
 
     t0 = time.time()
     # precompute_opacity off: its NEE shortcut requires scatters > 20
