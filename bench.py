@@ -29,7 +29,8 @@ def main():
     from cuda_volpath_tpu.render import integrator
     from cuda_volpath_tpu import scenes
 
-    width, height = 960, 512
+    width, height = (int(v) for v in
+                     os.environ.get("BENCH_SIZE", "960x512").split("x"))
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     pool = int(os.environ.get("BENCH_POOL", str(1 << 20)))
     steps = int(os.environ.get("BENCH_STEPS", "128"))  # bigger launches: fewer tunnel pulls (+5% measured)
@@ -46,6 +47,47 @@ def main():
     print(f"# scene ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     npix = width * height
+    # Multi-chip: shard the work queue + lane pool over all devices (or
+    # BENCH_MESH=N for a subset).  Zero collectives in the hot loop; the
+    # per-device films are summed at readout (parallel/shard.py).  On the
+    # driver's single chip this path is never taken.
+    n_dev = int(os.environ.get("BENCH_MESH", str(len(jax.devices()))))
+    if n_dev > 1:
+        from cuda_volpath_tpu.parallel import shard
+        mesh = shard.make_mesh(n_dev)
+        launch = shard.make_sharded_launch(settings, cam, width, height,
+                                           mesh)
+        st = shard.init_sharded_state(pool // n_dev, n_dev, 2**31 - 1)
+        fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
+
+        def count(fd):
+            return float(jnp.sum(fd[:, :-1, 4]))
+
+        t0 = time.time()
+        st, fdata = launch(scene, cam, st, fdata)
+        count(fdata)
+        print(f"# first sharded launch ({n_dev} devices, compile+run) "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        for _ in range(6):
+            st, fdata = launch(scene, cam, st, fdata)
+        retired0 = count(fdata)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds:
+            st, fdata = launch(scene, cam, st, fdata)
+            count(fdata)
+            n += 1
+        elapsed = time.time() - t0
+        samples_s = (count(fdata) - retired0) / elapsed
+        print(json.dumps({
+            "metric": f"camera_samples_per_second_{width}x{height}_julia_decomp",
+            "value": round(samples_s),
+            "unit": "samples/s",
+            "devices": n_dev,
+            "vs_baseline": round(samples_s / BASELINE_SAMPLES_S, 4),
+        }))
+        return
+
     _, launch = integrator.make_step_fn(settings, width, height)
     st = integrator.init_state(pool)
     # effectively-infinite work queue, clamped to int32 range (npix * spp
@@ -81,7 +123,7 @@ def main():
           f"{pool * steps * n / elapsed / 1e6:.0f}M lane-steps/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "camera_samples_per_second_960x512_julia_decomp",
+        "metric": f"camera_samples_per_second_{width}x{height}_julia_decomp",
         "value": round(samples_s),
         "unit": "samples/s",
         "vs_baseline": round(samples_s / BASELINE_SAMPLES_S, 4),
