@@ -777,6 +777,18 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     if film is None:
         film = filmmod.make_film(width, height)
 
+    # Drain ladder: once the queue empties, live lanes collapse quickly but
+    # a launch still costs the full pool — repack stragglers into
+    # geometrically smaller pools (each size is its own compiled graph,
+    # cached across renders) instead of one late jump to tail_pool.
+    ladder = []
+    p = pool // 8
+    while p > tail_pool:
+        ladder.append(p)
+        p //= 8
+    if tail_pool < pool:
+        ladder.append(tail_pool)
+
     while True:
         st, film = launch(scene, cam, st, film)
         if progress_cb is not None:
@@ -786,7 +798,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
         if live == 0:
             break
-        if pool > tail_pool and live <= tail_pool // 2:
-            st = compact_state(st, tail_pool)
-            pool = tail_pool
+        for p in ladder:
+            if pool > p and live <= p // 2:
+                st = compact_state(st, p)
+                pool = p
     return film

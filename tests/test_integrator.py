@@ -242,3 +242,21 @@ def test_scatter_inline_equivalent():
         fm = _render(scene, settings, w=10, h=10, spp=24, pool=1024)
         imgs.append(np.asarray(filmmod.image(fm)))
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_drain_ladder_invariant():
+    """Multi-step drain compaction (pool ladder) must not change the film:
+    lane repacking is exact because RNG streams live in lane registers."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=10.0, g=0.5))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=(0.0, 1.0, 0.0), sun_power=(1.0, 1.0, 1.0),
+                       sun_power_original=(10.0, 10.0, 10.0))
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
+    cam = cammod.make_camera()
+    f_ref = integrator.render(scene, cam, settings, 8, 8, 4, pool=256)
+    f_lad = integrator.render(scene, cam, settings, 8, 8, 4, pool=256,
+                              tail_pool=32)
+    np.testing.assert_allclose(np.asarray(filmmod.image(f_ref)),
+                               np.asarray(filmmod.image(f_lad)),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Time-to-N-spp at full frame — the reference README's headline metric
+("takes about 30 seconds to converge to 1000 spp" on a GTX 1080,
+reference README.md:7).
+
+Renders the flagship scene at 960×512 to ``--spp`` (default 1000) through
+the normal progressive path (including the straggler drain) and reports
+wall seconds.  Compile time is excluded via a warm-up launch, mirroring
+the reference which also excludes CUDA compilation.
+
+Usage:  python tools/bench_convergence.py [--spp 1000] [--scene flagship]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=1000)
+    ap.add_argument("--scene", default="flagship",
+                    choices=["flagship", "cloud"])
+    ap.add_argument("--size", default="960x512")
+    ap.add_argument("--pool", type=int, default=1 << 20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".cache" / "xla"))
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_volpath_tpu.config import RenderSettings
+    from cuda_volpath_tpu.render import film as filmmod, integrator
+    from cuda_volpath_tpu import scenes
+
+    w, h = (int(v) for v in args.size.split("x"))
+    scene, cam, _ = (scenes.flagship if args.scene == "flagship"
+                     else scenes.cloud)(n=256, bake_opacity=False)
+    settings = RenderSettings(steps_per_launch=128, precompute_opacity=False)
+
+    # warm the compile outside the timed region
+    _, launch = integrator.make_step_fn(settings, w, h)
+    st = integrator.init_state(args.pool)
+    st = st.replace(total_items=jnp.full((1,), 1, jnp.int32))
+    film = filmmod.make_film(w, h)
+    st, film = launch(scene, cam, st, film)
+    float(jnp.sum(film.count[:-1]))
+    print("# warmed", file=sys.stderr)
+
+    t0 = time.time()
+    film = integrator.render(scene, cam, settings, w, h, args.spp,
+                             pool=args.pool)
+    dt = time.time() - t0
+    spp = float(np.mean(np.asarray(filmmod.spp(film))))
+    print(json.dumps({"metric": f"time_to_{args.spp}spp_{w}x{h}_"
+                                f"{args.scene}",
+                      "seconds": round(dt, 1), "mean_spp": round(spp, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
