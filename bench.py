@@ -79,11 +79,15 @@ def main():
             n += 1
         elapsed = time.time() - t0
         samples_s = (count(fdata) - retired0) / elapsed
+        # device count in the metric name + per-device rate so aggregate
+        # multi-chip numbers are never conflated with single-chip history
         print(json.dumps({
-            "metric": f"camera_samples_per_second_{width}x{height}_julia_decomp",
+            "metric": (f"camera_samples_per_second_{width}x{height}"
+                       f"_julia_decomp_{n_dev}dev"),
             "value": round(samples_s),
             "unit": "samples/s",
             "devices": n_dev,
+            "per_device": round(samples_s / n_dev),
             "vs_baseline": round(samples_s / BASELINE_SAMPLES_S, 4),
         }))
         return

@@ -17,6 +17,7 @@ Keys (reference keyboard/motion handlers, volumeRender.cpp:674-874):
   space              cycle material   x/z   albedo up/down
   r                  random material  a/s   HG anisotropy g
   n                  denoise toggle   c     capture output{N}.ppm/.hdr
+  f                  filter toggle (point/linear; first use compiles)
   q                  quit
 
 Run: python -m cuda_volpath_tpu.apps.view --scene blob --size 192x104
@@ -94,7 +95,24 @@ def main(argv=None) -> int:
     settings = RenderSettings(steps_per_launch=args.steps_per_launch,
                               precompute_opacity=False)
     pool = args.pool or min(width * height, 1 << 18)
-    _, launch = integrator.make_step_fn(settings, width, height)
+
+    # Density filtering is a static of the compiled step (the reference
+    # flips the texture object at runtime, kernel.cu:422-439) — one launch
+    # per FilterMode, compiled lazily on first 'f' press.
+    from ..config import FilterMode
+    launches = {}
+
+    def get_launch(fm):
+        if fm not in launches:
+            sys.stderr.write(f"\rcompiling {fm.value} filter graph… "
+                             "(one-time)\n")
+            sys.stderr.flush()
+            s2 = settings.replace(filter_mode=fm)
+            launches[fm] = integrator.make_step_fn(s2, width, height)[1]
+        return launches[fm]
+
+    filter_mode = settings.filter_mode
+    launch = get_launch(filter_mode)
 
     def fresh():
         st = integrator.init_state(pool)
@@ -131,6 +149,7 @@ def main(argv=None) -> int:
             hud = (f"spp {spp_now:7.1f} | {fps:4.1f} fps | density "
                    f"{float(mat.density):6.1f} | g {float(mat.g):.3f} | "
                    f"bright {float(mat.brightness):.2f} | "
+                   f"{filter_mode.value} | "
                    f"{'denoise ' if denoise_on else ''}q quits")
             sys.stdout.write("\x1b[H" + _half_block_frame(disp) + "\n"
                              + hud + "\x1b[K\n")
@@ -212,6 +231,14 @@ def main(argv=None) -> int:
                     scene = scene.replace(envmap=env, sun_dir=sdir,
                                           sun_power=spow,
                                           sun_power_original=sdisk)
+                    reset = True
+                elif ch == "f":
+                    # point/linear density filtering ('f',
+                    # volumeRender.cpp:744-747 → set_texture_filter_mode)
+                    filter_mode = (FilterMode.LINEAR
+                                   if filter_mode == FilterMode.NEAREST
+                                   else FilterMode.NEAREST)
+                    launch = get_launch(filter_mode)
                     reset = True
                 elif ch == "n":
                     denoise_on = not denoise_on

@@ -179,6 +179,26 @@ class RenderSettings:
     # (PASSIVE envmap only — under MIS the scatter stage chains the envmap
     # NEE, which stays batched.)
     scatter_inline: bool = True
+    # Reference march semantics: draw-for-draw parity with the reference's
+    # active kernel (__d_render_bounded_decomp + Tr_spectral,
+    # src/volumeRender_kernel.cu:1958-2318, 754-808).  Requires a scene
+    # built with ``reference_bounds=True`` (full-resolution (max,min) bound
+    # grid).  Differences from the production TPU path that this restores:
+    # * segment end is min(box_tfar, search_radius) measured from the
+    #   current ray *origin* (kernel.cu:1654) — including the reference's
+    #   quirk of creeping from the camera to the box one search_radius (and
+    #   one free-flight draw) at a time when the origin is outside;
+    # * no vacuum/leap segments — empty space marches against the 1e-4
+    #   majorant floor (kernel.cu:1658, 2044);
+    # * the sun shadow march is one unsegmented chord using the collision
+    #   segment's majorant (kernel.cu:2231-2249), no analytic control
+    #   factors;
+    # * Tr_spectral's all-channels-dead exit consumes one extra free-flight
+    #   draw (the loop-top draw of the breaking iteration, kernel.cu:783-788).
+    # With identical (pixel,sample) RNG streams the per-sample radiance
+    # matches the reference kernel to fp rounding.  PASSIVE envmap only.
+    # Validation-only: slower than the production path by design.
+    reference_march: bool = False
     # Hard cap on inner null-collision iterations per micro-step is 1 by
     # construction (the wavefront advances one collision event per step).
 

@@ -61,8 +61,10 @@ def _blosc_memcpy_frame(payload: bytes) -> bytes:
 
 def lz4_compress_block(data: bytes) -> bytes:
     """Greedy LZ4 block encoder (spec-conformant: the block ends with a
-    literals-only sequence and no match starts within the last 5 bytes).
-    Small and slow — used for writing test/interchange .vdb files."""
+    literals-only sequence of >= 5 bytes and the last match starts at
+    least 12 bytes before the end, as LZ4_decompress_fast-era decoders
+    require).  Small and slow — used for writing test/interchange .vdb
+    files."""
     n = len(data)
     out = bytearray()
     table = {}
@@ -88,15 +90,16 @@ def lz4_compress_block(data: bytes) -> bytes:
                     rem -= 255
                 out.append(rem)
 
-    limit = n - 5                      # last 5 bytes must be literals
-    while i + 4 <= limit:
+    match_limit = n - 12               # last match starts >= 12 from end
+    end_limit = n - 5                  # last 5 bytes must be literals
+    while i + 4 <= match_limit:
         key = data[i:i + 4]
         cand = table.get(key)
         table[key] = i
         if cand is not None and i - cand <= 0xFFFF:
             m = i + 4
             c = cand + 4
-            while m < limit and data[m] == data[c]:
+            while m < end_limit and data[m] == data[c]:
                 m += 1
                 c += 1
             emit(anchor, i - anchor, m - i, i - cand)
@@ -108,22 +111,40 @@ def lz4_compress_block(data: bytes) -> bytes:
 
 
 def _blosc_lz4_frame(payload: bytes, typesize: int, shuffle: bool) -> bytes:
-    """Blosc1 frame with one LZ4 block (optional byte shuffle)."""
+    """Blosc1 frame with one LZ4 block (optional byte shuffle).
+
+    Mirrors genuine c-blosc block splitting (verified against
+    libblosc.so.1, and decoded by native/vdb_reader.cpp:bloscDecompress):
+    a full block is cut into ``typesize`` sub-streams, each with its own
+    int32 csize, iff blocksize/typesize >= 128 and typesize <= 16;
+    otherwise one stream plus the dont_split flag (bit 4) for newer
+    decoders."""
     block = payload
     if shuffle and typesize > 1:
         elems = len(payload) // typesize
         arr = np.frombuffer(payload[:elems * typesize], np.uint8)
         block = (arr.reshape(elems, typesize).T.tobytes()
                  + payload[elems * typesize:])
-    comp = lz4_compress_block(block)
-    if len(comp) >= len(block):        # blosc stores incompressible raw
-        comp = block
+    split = (typesize > 1 and typesize <= 16
+             and len(block) % typesize == 0
+             and len(block) // typesize >= 128)
     flags = (0x1 if shuffle and typesize > 1 else 0) | (1 << 5)  # LZ4
+    if not split:
+        flags |= 0x10                  # dont_split
+    subs = []
+    nsplits = typesize if split else 1
+    neblock = len(block) // nsplits
+    for s in range(nsplits):
+        chunk = block[s * neblock:(s + 1) * neblock]
+        comp = lz4_compress_block(chunk)
+        if len(comp) >= len(chunk):    # blosc stores incompressible raw
+            comp = chunk
+        subs.append(struct.pack("<i", len(comp)) + comp)
+    body = b"".join(subs)
     header = struct.pack("<BBBBIII", 2, 1, flags, typesize,
                          len(payload), max(len(payload), 1),
-                         16 + 4 + 4 + len(comp))
-    return (header + struct.pack("<I", 16 + 4)
-            + struct.pack("<i", len(comp)) + comp)
+                         16 + 4 + len(body))
+    return header + struct.pack("<I", 16 + 4) + body
 
 
 def _codec_frame(raw: bytes, compression: int) -> bytes:

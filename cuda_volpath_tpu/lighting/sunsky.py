@@ -28,7 +28,7 @@ def sun_angles_from_xy(x: float, y: float) -> Tuple[float, float]:
     return x * 2.0 * np.pi, y * np.pi
 
 
-def bake(x: float = 0.5, y: float = 0.2, sky: Skydome | None = None,
+def bake(x: float = 0.5, y: float = 0.2, sky=None,
          width: int = BAKE_WIDTH, height: int = BAKE_HEIGHT,
          bake_sun: bool = False):
     """Returns (envmap_image (H,W,3) float32, sun_dir, sun_power_disk).
@@ -38,6 +38,10 @@ def bake(x: float = 0.5, y: float = 0.2, sky: Skydome | None = None,
     it to directional irradiance with sun.disk_to_directional.
     If ``bake_sun``, the solar disc is baked into the envmap instead and the
     returned sun power is zero (volumeRender.cpp:291,328).
+
+    ``sky`` is any model with the SkyModel facade shape (sunsky.h:6-25):
+    the Tungsten/Hosek ``models.skydome.Skydome`` (default, like the
+    reference build) or ``models.sky_preetham.PreethamSunSky``.
     """
     if sky is None:
         sky = Skydome()

@@ -6,7 +6,11 @@
 // bounding box — but with zero third-party dependencies (the reference links
 // all of OpenVDB + TBB + Blosc; this file is self-contained C++17 + libz).
 //
-// Format coverage (OpenVDB file versions 218–224, library 3.x–10.x):
+// Format coverage (file versions 220–224 exercised by tests/test_vdb.py
+// round-trips and the libblosc/real-frame cross-checks; 218–219 headers are
+// parsed best-effort — the pre-219 legacy transform/gridmap layouts are NOT
+// implemented and raise ParseError — and versions up to 260 are accepted
+// optimistically since the format has been stable since 224):
 //   * archive header, grid descriptors, metadata maps, transform blobs
 //   * Tree_float_5_4_3 topology: RootNode tiles/children, Internal 32^3 and
 //     16^3 node masks + packed tile values, 8^3 leaves
@@ -151,7 +155,11 @@ std::vector<uint8_t> bloscDecompress(const uint8_t* src, size_t n) {
     std::memcpy(&nbytes, src + 4, 4);
     std::memcpy(&blocksize, src + 8, 4);
     std::memcpy(&cbytes, src + 12, 4);
-    if (cbytes > n) throw ParseError("blosc: cbytes > frame");
+    if (cbytes < 16 || cbytes > n) throw ParseError("blosc: bad cbytes");
+    // Plausibility bound before allocating: the archive's frames hold at
+    // most one 32^3 internal node's float tiles (128 KiB); a corrupt
+    // header could otherwise demand a 4 GiB allocation (DoS).
+    if (nbytes > (1u << 26)) throw ParseError("blosc: absurd nbytes");
     std::vector<uint8_t> out(nbytes);
     if (nbytes == 0) return out;
 
@@ -173,19 +181,36 @@ std::vector<uint8_t> bloscDecompress(const uint8_t* src, size_t n) {
         std::memcpy(&off32, src + 16 + 4 * b, 4);
         size_t off = off32;  // widen before bounds arithmetic (no wrap)
         size_t bsize = std::min<size_t>(blocksize, nbytes - b * blocksize);
-        if (off + 4 > n) throw ParseError("blosc: bad block offset");
-        int32_t csize;
-        std::memcpy(&csize, src + off, 4);
-        if (csize < 0 || off + 4 + size_t(csize) > n)
-            throw ParseError("blosc: bad block size");
-        // blosc stores an uncompressed block as csize == bsize raw bytes
-        if (size_t(csize) == bsize) {
-            std::memcpy(tmp.data() + b * blocksize, src + off + 4, bsize);
-        } else {
-            size_t got = lz4DecompressBlock(src + off + 4, csize,
-                                            tmp.data() + b * blocksize,
-                                            bsize);
-            if (got != bsize) throw ParseError("blosc: block short");
+        // Block splitting (verified against libblosc.so.1 empirically and
+        // mirrored by io/vdb.py:_blosc_lz4_frame): for blosclz/lz4 a full
+        // block is cut into `typesize` sub-streams, each preceded by its
+        // own int32 csize, iff blocksize/typesize >= 128 (MIN_BUFFERSIZE)
+        // and typesize <= 16 (MAX_SPLITS).  Newer c-blosc also records the
+        // decision in flags bit 4 (dont_split); a partial final block
+        // never splits.
+        const bool dont_split = flags & 0x10;
+        size_t nsplits = 1;
+        if (!dont_split && typesize > 1 && typesize <= 16 &&
+            bsize == blocksize && blocksize % typesize == 0 &&
+            blocksize / typesize >= 128)
+            nsplits = typesize;
+        size_t neblock = bsize / nsplits;
+        for (size_t s = 0; s < nsplits; ++s) {
+            if (off + 4 > n) throw ParseError("blosc: bad block offset");
+            int32_t csize;
+            std::memcpy(&csize, src + off, 4);
+            if (csize < 0 || off + 4 + size_t(csize) > n)
+                throw ParseError("blosc: bad block size");
+            uint8_t* dst = tmp.data() + b * blocksize + s * neblock;
+            // blosc stores an incompressible chunk as csize == neblock raw
+            if (size_t(csize) == neblock) {
+                std::memcpy(dst, src + off + 4, neblock);
+            } else {
+                size_t got = lz4DecompressBlock(src + off + 4, csize, dst,
+                                                neblock);
+                if (got != neblock) throw ParseError("blosc: block short");
+            }
+            off += 4 + size_t(csize);
         }
         // byte shuffle is applied per block
         if ((flags & 0x1) && typesize > 1) {
@@ -572,8 +597,18 @@ DenseVolume bakeDense(const TreeReader& tree) {
     v.nx = maxx - minx + 1;
     v.ny = maxy - miny + 1;
     v.nz = maxz - minz + 1;
-    if (v.nx * v.ny * v.nz > (int64_t(1) << 33))
-        throw ParseError("dense volume too large");
+    // Densification cap: default 2^31 elements (8 GiB of floats), raisable
+    // via VDB_MAX_DENSE_ELEMS for genuinely huge grids — a hostile file
+    // with two far-apart voxels could otherwise demand an absurd bake.
+    int64_t cap = int64_t(1) << 31;
+    if (const char* env = std::getenv("VDB_MAX_DENSE_ELEMS")) {
+        long long parsed = std::atoll(env);
+        if (parsed > 0) cap = parsed;
+    }
+    if (v.nx * v.ny * v.nz > cap)
+        throw ParseError("dense volume too large (" +
+                         std::to_string(v.nx * v.ny * v.nz) + " voxels; "
+                         "raise VDB_MAX_DENSE_ELEMS to override)");
     v.data.assign(size_t(v.nx * v.ny * v.nz), 0.f);
     for (const auto& t : tree.tiles) {   // constant pruned regions first
         int64_t x0 = std::max<int64_t>(t.origin.x - minx, 0);
@@ -785,6 +820,26 @@ float* vdb_read_float_grid(const char* path, long grid_index, long* nx,
 float* vdb_read_first_float_grid(const char* path, long* nx, long* ny,
                                  long* nz) {
     return vdb_read_float_grid(path, 0, nx, ny, nz);
+}
+
+// Test entry: decode one blosc frame (tests/test_vdb_foreign.py
+// cross-checks this against genuine libblosc output).  Returns the
+// decompressed size, or -1 with vdb_last_error set.
+long vdb_test_blosc_decompress(const uint8_t* src, long n, uint8_t* out,
+                               long outcap) {
+    g_error.clear();
+    try {
+        std::vector<uint8_t> res = bloscDecompress(src, size_t(n));
+        if (long(res.size()) > outcap) {
+            g_error = "output buffer too small";
+            return -1;
+        }
+        std::memcpy(out, res.data(), res.size());
+        return long(res.size());
+    } catch (const std::exception& e) {
+        g_error = e.what();
+        return -1;
+    }
 }
 
 }  // extern "C"

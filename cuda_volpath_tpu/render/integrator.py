@@ -216,6 +216,10 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
     use_decomp = settings.tracker == Tracker.DECOMP
     local_bounds = settings.tracker != Tracker.DELTA
     use_mis = settings.envmap_mode == EnvmapMode.MIS
+    ref_march = settings.reference_march
+    if ref_march and use_mis:
+        raise ValueError("reference_march parity covers the reference's "
+                         "active configuration (PASSIVE_ENVMAP=1) only")
     npix = width * height
 
     def mono_scene(scene: Scene) -> Scene:
@@ -446,30 +450,36 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                 d_max = jnp.where(ok, mk, d_max)
                 d_min = jnp.where(ok, nk, d_min)
                 seg_len = jnp.where(ok, radii[k], seg_len)
-            # distance-to-solid leap: density ≡ 0 for leap_cells coarse
-            # cells (Chebyshev) around this one → extend the vacuum segment
-            # (the u8 channel comes back dequantized by 1/255)
-            nleap = len(radii) * 2
-            leap_cells = bnd[..., nleap] * (
-                255.0 if scene.bound.data.dtype == jnp.uint8 else 1.0)
-            edge = jnp.min((scene.bound.box_max - scene.bound.box_min)
-                           / jnp.asarray(scene.bound.data.shape[2::-1],
-                                         jnp.float32))
-            leap = leap_cells * edge
-            vac_leap = d_max <= 0.0
-            seg_len = jnp.where(vac_leap, jnp.maximum(seg_len, leap),
-                                seg_len)
+            if not ref_march:
+                # distance-to-solid leap: density ≡ 0 for leap_cells coarse
+                # cells (Chebyshev) around this one → extend the vacuum
+                # segment (the u8 channel dequantizes by 1/255)
+                nleap = len(radii) * 2
+                leap_cells = bnd[..., nleap] * (
+                    255.0 if scene.bound.data.dtype == jnp.uint8 else 1.0)
+                edge = jnp.min((scene.bound.box_max - scene.bound.box_min)
+                               / jnp.asarray(scene.bound.data.shape[2::-1],
+                                             jnp.float32))
+                leap = leap_cells * edge
+                vac_leap = d_max <= 0.0
+                seg_len = jnp.where(vac_leap, jnp.maximum(seg_len, leap),
+                                    seg_len)
         else:
             d_max = jnp.ones_like(t_near)
             d_min = jnp.zeros_like(t_near)
             seg_len = jnp.full_like(t_near, 1e30)
 
         # ================= path segment =================
-        t_far = jnp.minimum(t_far_box, t_near + seg_len)
+        if ref_march:
+            # the reference clamps at search_radius from the *origin*
+            # (kernel.cu:1654) — see config.RenderSettings.reference_march
+            t_far = jnp.minimum(t_far_box, seg_len)
+        else:
+            t_far = jnp.minimum(t_far_box, t_near + seg_len)
         # exact vacuum leap: Tr ≡ 1 across the segment, no draw, no march
         # (replaces the reference's 1e-4-majorant creep, kernel.cu:2044)
-        vacuum = pseg & (d_max <= 0.0) if local_bounds else \
-            jnp.zeros_like(pseg)
+        vacuum = pseg & (d_max <= 0.0) if local_bounds and not ref_march \
+            else jnp.zeros_like(pseg)
         o = _w(vacuum, st.o + st.d * t_far[:, None], st.o)
         act = pseg & ~vacuum
 
@@ -572,6 +582,24 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             go_shadow = jnp.zeros_like(col)
 
         scatter_now = col & (shortcut | sh_miss)
+        if ref_march:
+            # reference Tr_spectral chord: one unsegmented march over
+            # [t_near, t_far] of the sun ray with the *collision segment's*
+            # majorant σ̄ = maxσt·ρ'(post)·d_max and no control medium
+            # (kernel.cu:2231-2249 compute inv_sigma from the NEE-block
+            # recompute; Tr_spectral :754-808 tracks the full chord).
+            max_sigma_t = jnp.max(scene.mat.sigma_t)
+            sh_inv_sigma = 1.0 / (max_sigma_t * rho2 * st.d_max)
+            extra = dict(
+                t_max=jnp.where(go_shadow, sh_tf, st.t_max),
+                inv_sigma=jnp.where(go_shadow, sh_inv_sigma, st.inv_sigma),
+                # the shadow-mode d_max register holds the control minorant;
+                # the reference shadow march has none
+                d_max=jnp.where(go_shadow, 0.0, st.d_max))
+            shadow_status = MARCH
+        else:
+            extra = {}
+            shadow_status = NEW_SEGMENT
         st = st.replace(
             radiance=radiance,
             o=_w(col, pos, st.o),
@@ -586,7 +614,8 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             # transmittance uses (kernel.cu:2243-2249)
             density_prime=jnp.where(col, rho2, st.density_prime),
             shadow=jnp.where(go_shadow, True, st.shadow),
-            status=jnp.where(go_shadow, NEW_SEGMENT, st.status))
+            status=jnp.where(go_shadow, shadow_status, st.status),
+            **extra)
         return st, scatter_now
 
     def march(scene: Scene, st: PathState) -> PathState:
@@ -667,6 +696,11 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         # (kernel.cu:785-788) and is exact, not Russian roulette.
         sh_dead = ev_sh & (vm.max_of(sh_tr) <= 0.0)
         sh_complete = sh_complete | sh_dead
+        if ref_march and binary_shadow:
+            # the reference's all-channels-dead exit happens at the top of
+            # the NEXT loop iteration, after one more free-flight draw
+            # (kernel.cu:783-788) — consume it to keep streams aligned
+            rng2, _ = _draw(rng2, sh_dead)
 
         # shadow completion: add the estimate, then scatter
         radiance = _w(sh_complete, st.radiance + st.nee_coeff * sh_tr,
@@ -749,6 +783,38 @@ def compact_state(st: PathState, new_pool: int) -> PathState:
     return jax.tree.map(pick, fresh, st)
 
 
+def drain_ladder(pool: int, tail_pool: int, factor: int = 2) -> list:
+    """Geometric pool sizes for straggler compaction (largest first).
+
+    2× rungs keep the draining pool within 2× of the live-lane count, so
+    the tail of a finite render pays at most ~2× the optimal launch cost
+    (8× rungs measured ~25% of wall clock on time-to-1000-spp renders).
+    Each size is its own compiled graph, persistently cached — see
+    ``prewarm_drain`` for taking the one-time compiles off the clock.
+    """
+    ladder = []
+    p = pool // factor
+    while p > tail_pool:
+        ladder.append(p)
+        p //= factor
+    if tail_pool < pool:
+        ladder.append(tail_pool)
+    return ladder
+
+
+def prewarm_drain(scene: Scene, cam: cammod.Camera,
+                  settings: RenderSettings, width: int, height: int,
+                  pool: int, tail_pool: int = 1 << 14) -> None:
+    """Compile every drain-ladder graph (one launch per pool size on an
+    empty queue) so a timed render never hits a cold compile mid-drain."""
+    _, launch = make_step_fn(settings, width, height)
+    film = filmmod.make_film(width, height)
+    for p in [pool] + drain_ladder(pool, tail_pool):
+        st = init_state(p)
+        st, film = launch(scene, cam, st, film)
+    float(jnp.sum(film.count[:-1]))  # force (lazy tunnel backends)
+
+
 def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            width: int, height: int, spp: int,
            pool: int | None = None,
@@ -781,13 +847,7 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     # a launch still costs the full pool — repack stragglers into
     # geometrically smaller pools (each size is its own compiled graph,
     # cached across renders) instead of one late jump to tail_pool.
-    ladder = []
-    p = pool // 8
-    while p > tail_pool:
-        ladder.append(p)
-        p //= 8
-    if tail_pool < pool:
-        ladder.append(tail_pool)
+    ladder = drain_ladder(pool, tail_pool)
 
     while True:
         st, film = launch(scene, cam, st, film)
@@ -799,7 +859,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         if live == 0:
             break
         for p in ladder:
-            if pool > p and live <= p // 2:
+            # live lanes only decrease once the queue is empty, so an
+            # exact fit is safe (compact_state must never drop live lanes)
+            if pool > p and live <= p:
                 st = compact_state(st, p)
                 pool = p
     return film

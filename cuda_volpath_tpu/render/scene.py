@@ -101,41 +101,57 @@ def make_scene(volume: np.ndarray,
                quantize: bool = True,
                opacity: Optional[np.ndarray] = None,
                bound_stride: int = 2,
-               bound_scales=(1.0, 5.0, 25.0)) -> Scene:
+               bound_scales=(1.0, 5.0, 25.0),
+               reference_bounds: bool = False) -> Scene:
     """Bake a dense volume into a render-ready scene.
 
     Mirrors the ingestion path loadVdbFile → init_cuda (volumeRender.cpp:
     968-1019, kernel.cu:354-420): optional normalize-by-max uint8
     quantization, bound-grid build on the (quantized) data, aspect-derived
     default bounding box.  The bound grid is the TPU-native coarse
-    multiscale pyramid (see ops.boundgrid.build_multiscale_bounds).
+    multiscale pyramid (see ops.boundgrid.build_multiscale_bounds) — or,
+    with ``reference_bounds=True``, the reference's full-resolution
+    (max, min) bound texture (kernel.cu:392-395, built exactly like
+    volumeRender.cpp:1088-1267) for draw-for-draw validation against the
+    reference kernels (config.RenderSettings.reference_march).
     """
     volume = np.asarray(volume, np.float32)
     if quantize:
         data = np.asarray(gridmod.quantize_u8(volume))
     else:
         data = volume
-    from ..volume import loaders as loadersmod
-    bound = loadersmod.build_multiscale_bounds_native(
-        data, search_radius, stride=bound_stride, scale_mults=bound_scales)
-    if bound is None:
-        bound = boundmod.build_multiscale_bounds(
+    density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
+    if reference_bounds:
+        bnd2 = boundmod.build_bound_grid(data, search_radius)
+        leap = np.zeros(data.shape + (1,), data.dtype)
+        bound_g = gridmod.Grid3D(
+            data=jnp.asarray(np.concatenate([bnd2, leap], axis=-1)),
+            box_min=density.box_min, box_max=density.box_max)
+        bound_scales = (1.0,)
+    else:
+        from ..volume import loaders as loadersmod
+        bound = loadersmod.build_multiscale_bounds_native(
             data, search_radius, stride=bound_stride,
             scale_mults=bound_scales)
+        if bound is None:
+            bound = boundmod.build_multiscale_bounds(
+                data, search_radius, stride=bound_stride,
+                scale_mults=bound_scales)
 
-    density = gridmod.make_grid(jnp.asarray(data), box_min, box_max)
-    # The coarse grid pads each axis to a stride multiple; its box must map
-    # cell c exactly onto voxels [c*stride, (c+1)*stride) — extend box_max
-    # by the padded fraction so the nearest-cell lookup never skews when
-    # stride does not divide the dims.
-    nz, ny, nx = data.shape
-    pad_scale = np.array([bound.shape[2] * bound_stride / nx,
-                          bound.shape[1] * bound_stride / ny,
-                          bound.shape[0] * bound_stride / nz], np.float32)
-    bound_box_max = density.box_min + \
-        (density.box_max - density.box_min) * jnp.asarray(pad_scale)
-    bound_g = gridmod.Grid3D(data=jnp.asarray(bound),
-                             box_min=density.box_min, box_max=bound_box_max)
+        # The coarse grid pads each axis to a stride multiple; its box must
+        # map cell c exactly onto voxels [c*stride, (c+1)*stride) — extend
+        # box_max by the padded fraction so the nearest-cell lookup never
+        # skews when stride does not divide the dims.
+        nz, ny, nx = data.shape
+        pad_scale = np.array([bound.shape[2] * bound_stride / nx,
+                              bound.shape[1] * bound_stride / ny,
+                              bound.shape[0] * bound_stride / nz],
+                             np.float32)
+        bound_box_max = density.box_min + \
+            (density.box_max - density.box_min) * jnp.asarray(pad_scale)
+        bound_g = gridmod.Grid3D(data=jnp.asarray(bound),
+                                 box_min=density.box_min,
+                                 box_max=bound_box_max)
     if opacity is None:
         opacity = np.zeros_like(volume, np.float32)
     opacity_g = gridmod.Grid3D(data=jnp.asarray(opacity, jnp.float32),

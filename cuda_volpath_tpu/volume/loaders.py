@@ -86,6 +86,7 @@ def _load_vdb_native(lib: ctypes.CDLL, path: str, grid_index: int
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
     lib.vdb_free.argtypes = [ctypes.c_void_p]
+    lib.vdb_last_error.restype = ctypes.c_char_p
     nx = ctypes.c_long()
     ny = ctypes.c_long()
     nz = ctypes.c_long()
@@ -93,7 +94,12 @@ def _load_vdb_native(lib: ctypes.CDLL, path: str, grid_index: int
                                   ctypes.byref(nx), ctypes.byref(ny),
                                   ctypes.byref(nz))
     if not ptr:
-        return None
+        # surface the parser's message instead of silently falling through
+        # to the (usually absent) pyopenvdb path
+        err = lib.vdb_last_error()
+        raise ValueError(
+            f"cannot parse {path}: "
+            f"{err.decode() if err else 'unknown VDB reader error'}")
     n = nx.value * ny.value * nz.value
     buf = np.ctypeslib.as_array(
         ctypes.cast(ptr, ctypes.POINTER(ctypes.c_float)), (n,))

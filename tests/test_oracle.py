@@ -1,0 +1,97 @@
+"""Estimator-level parity: the wavefront integrator in ``reference_march``
+mode against the scalar numpy oracle of the reference's active kernel
+(tests/reference_oracle.py ≙ src/volumeRender_kernel.cu:1958-2318+754-808).
+
+Same (pixel, sample) RNG streams, same draw order, same f32 math — each
+sample's radiance and scatter count must match draw-for-draw.  XLA and
+libm transcendentals differ by ~1 ulp which occasionally flips a boundary
+comparison and diverges one sample's draw sequence, so the assertion is:
+nearly all samples match tightly, and a single wrong weight anywhere
+(which would corrupt *every* sample) fails loudly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cuda_volpath_tpu.config import Param, RenderSettings, Tracker
+from cuda_volpath_tpu.render import film as filmmod
+from cuda_volpath_tpu.render import integrator
+from cuda_volpath_tpu import scenes
+
+import reference_oracle as oracle
+
+W = H = 16
+SPP = 6
+
+
+def _make_parity_scene():
+    param = Param(density=40.0, g=0.5, sigma_t=(1.0, 0.65, 0.35),
+                  albedo=(0.95, 0.88, 0.8))
+    scene, cam, _ = scenes.gaussian_blob(16, param, reference_bounds=True)
+    return scene, cam
+
+
+def _render_sample(scene, cam, launch, s):
+    """Render exactly sample index ``s`` for every pixel (work-queue window
+    [s*npix, (s+1)*npix)); returns (rgb[(H,W,3)], heat[(H,W)])."""
+    npix = W * H
+    st = integrator.init_state(512)
+    st = st.replace(next_item=jnp.full((1,), s * npix, jnp.int32),
+                    total_items=jnp.full((1,), (s + 1) * npix, jnp.int32))
+    film = filmmod.make_film(W, H)
+    while True:
+        st, film = launch(scene, cam, st, film)
+        if int(jnp.sum((st.status != integrator.DONE)
+                       .astype(jnp.int32))) == 0 and \
+                int(jnp.max(st.pixel)) < 0:
+            break
+    assert int(np.asarray(filmmod.spp(film)).min()) == 1
+    rgb = np.asarray(film.sum[:-1, :3]).reshape(H, W, 3)
+    heat = np.asarray(film.sum[:-1, 3]).reshape(H, W)
+    return rgb, heat
+
+
+def _compare(tracker: Tracker):
+    scene, cam = _make_parity_scene()
+    settings = RenderSettings(tracker=tracker, reference_march=True,
+                              precompute_opacity=False,
+                              steps_per_launch=8)
+    _, launch = integrator.make_step_fn(settings, W, H)
+
+    sc = oracle.OracleScene(scene, cam, W, H,
+                            search_radius=settings.search_radius,
+                            max_depth=settings.max_depth)
+    o_rgb, o_heat = oracle.render_oracle(
+        sc, SPP, decomp=(tracker == Tracker.DECOMP))
+
+    w_rgb = np.zeros_like(o_rgb)
+    w_heat = np.zeros_like(o_heat, np.float32)
+    for s in range(SPP):
+        w_rgb[s], w_heat[s] = _render_sample(scene, cam, launch, s)
+
+    heat_ok = w_heat == o_heat
+    rgb_ok = np.all(np.abs(w_rgb - o_rgb) <= 2e-3 + 2e-3 * np.abs(o_rgb),
+                    axis=-1)
+    matched = heat_ok & rgb_ok
+    frac = matched.mean()
+    # a wrong weight / draw-order bug corrupts every sample; ulp-flip
+    # divergence corrupts isolated ones
+    assert frac >= 0.97, (
+        f"only {frac:.1%} of {matched.size} samples match the reference "
+        f"oracle (heat mismatches: {(~heat_ok).sum()}, "
+        f"rgb mismatches: {(~rgb_ok).sum()})")
+    # aggregate means must agree tightly as well
+    np.testing.assert_allclose(w_rgb.mean(axis=(0, 1, 2)),
+                               o_rgb.mean(axis=(0, 1, 2)),
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_decomp_matches_reference_oracle():
+    """DECOMP: the benchmarked reference kernel (kernel.cu:2364-2370)."""
+    _compare(Tracker.DECOMP)
+
+
+def test_bounded_matches_reference_oracle():
+    """BOUNDED ≙ the decomp kernel with the control medium inactive
+    (use_decomposition=false, kernel.cu:2023): no control-distance draw."""
+    _compare(Tracker.BOUNDED)

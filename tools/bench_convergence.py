@@ -32,7 +32,6 @@ def main() -> int:
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent.parent / ".cache" / "xla"))
-    import jax.numpy as jnp
     import numpy as np
     from cuda_volpath_tpu.config import RenderSettings
     from cuda_volpath_tpu.render import film as filmmod, integrator
@@ -43,14 +42,12 @@ def main() -> int:
                      else scenes.cloud)(n=256, bake_opacity=False)
     settings = RenderSettings(steps_per_launch=128, precompute_opacity=False)
 
-    # warm the compile outside the timed region
-    _, launch = integrator.make_step_fn(settings, w, h)
-    st = integrator.init_state(args.pool)
-    st = st.replace(total_items=jnp.full((1,), 1, jnp.int32))
-    film = filmmod.make_film(w, h)
-    st, film = launch(scene, cam, st, film)
-    float(jnp.sum(film.count[:-1]))
-    print("# warmed", file=sys.stderr)
+    # warm every graph (main pool + the whole drain ladder) outside the
+    # timed region, mirroring the reference which also excludes compilation
+    t0 = time.time()
+    integrator.prewarm_drain(scene, cam, settings, w, h, args.pool)
+    print(f"# warmed main + drain-ladder graphs in {time.time() - t0:.0f}s",
+          file=sys.stderr)
 
     t0 = time.time()
     film = integrator.render(scene, cam, settings, w, h, args.spp,
