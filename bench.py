@@ -34,6 +34,8 @@ def main():
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     pool = int(os.environ.get("BENCH_POOL", str(1 << 20)))
     steps = int(os.environ.get("BENCH_STEPS", "128"))  # bigger launches: fewer tunnel pulls (+5% measured)
+    # BENCH_SCENE=cloud benches the dense-cloud scene (WDAS content class)
+    scene_name = os.environ.get("BENCH_SCENE", "flagship")
 
     t0 = time.time()
     # precompute_opacity off: its NEE shortcut requires scatters > 20
@@ -41,7 +43,9 @@ def main():
     # reach (mean heat ≈ 2.6 scatters/sample), so the cache would add a
     # pool-wide fetch per micro-step for zero estimator benefit — the
     # same trade the reference faces on this scene.
-    scene, cam, param = scenes.flagship(n=256, bake_opacity=False)
+    scene_fn = scenes.cloud if scene_name == "cloud" else scenes.flagship
+    scene, cam, param = scene_fn(n=256, bake_opacity=False)
+    metric_scene = "cloud_decomp" if scene_name == "cloud" else "julia_decomp"
     settings = RenderSettings(steps_per_launch=steps,
                               precompute_opacity=False)
     print(f"# scene ready in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -68,8 +72,14 @@ def main():
         count(fdata)
         print(f"# first sharded launch ({n_dev} devices, compile+run) "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
-        for _ in range(6):
+        # phase-mixing warmup (see the single-device comment below)
+        warm_target = 3.0 * pool * settings.samples_per_item
+        t0 = time.time()
+        nwarm = 1
+        while (nwarm < 6 or count(fdata) < warm_target) \
+                and time.time() - t0 < 300:
             st, fdata = launch(scene, cam, st, fdata)
+            nwarm += 1
         retired0 = count(fdata)
         t0 = time.time()
         n = 0
@@ -83,7 +93,7 @@ def main():
         # multi-chip numbers are never conflated with single-chip history
         print(json.dumps({
             "metric": (f"camera_samples_per_second_{width}x{height}"
-                       f"_julia_decomp_{n_dev}dev"),
+                       f"_{metric_scene}_{n_dev}dev"),
             "value": round(samples_s),
             "unit": "samples/s",
             "devices": n_dev,
@@ -108,8 +118,19 @@ def main():
     float(jnp.sum(film.count[:-1]))
     print(f"# first launch (compile+run) {time.time() - t0:.1f}s",
           file=sys.stderr)
-    for _ in range(6):
+    # warm until every lane has retired ~3 full work items: with
+    # multi-sample items (settings.samples_per_item) the pool starts
+    # phase-synchronized and a short warmup would time the first item
+    # completion herd, not steady state
+    warm_target = 3.0 * pool * settings.samples_per_item
+    t0 = time.time()
+    nwarm = 1
+    while (nwarm < 6 or float(jnp.sum(film.count[:-1])) < warm_target) \
+            and time.time() - t0 < 300:
         st, film = launch(scene, cam, st, film)
+        nwarm += 1
+    print(f"# warmed {nwarm} launches in {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     # measure steady state, forcing with a host pull per launch
     retired0 = float(jnp.sum(film.count[:-1]))
@@ -127,7 +148,7 @@ def main():
           f"{pool * steps * n / elapsed / 1e6:.0f}M lane-steps/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"camera_samples_per_second_{width}x{height}_julia_decomp",
+        "metric": f"camera_samples_per_second_{width}x{height}_{metric_scene}",
         "value": round(samples_s),
         "unit": "samples/s",
         "vs_baseline": round(samples_s / BASELINE_SAMPLES_S, 4),

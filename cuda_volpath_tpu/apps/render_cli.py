@@ -71,6 +71,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="wavefront pool size (default min(npix, 2^19))")
     p.add_argument("--steps-per-launch", type=int, default=None,
                    help="micro-steps per launch (default: config)")
+    p.add_argument("--samples-per-item", type=int, default=None,
+                   help="consecutive samples per work item (default: config)")
+    p.add_argument("--flush-every", type=int, default=None,
+                   help="film-flush cadence in housekeeping periods "
+                   "(default: config)")
     p.add_argument("--orbit", type=float, nargs=2, default=None,
                    metavar=("DX", "DY"), help="orbit the default camera")
     p.add_argument("--zoom", type=float, default=None)
@@ -168,7 +173,11 @@ def main(argv=None) -> int:
         precompute_opacity=not args.no_opacity_cache,
         max_depth=args.max_depth,
         **({"steps_per_launch": args.steps_per_launch}
-           if args.steps_per_launch else {}))
+           if args.steps_per_launch else {}),
+        **({"samples_per_item": args.samples_per_item}
+           if args.samples_per_item else {}),
+        **({"flush_every": args.flush_every}
+           if args.flush_every else {}))
 
     t0 = time.time()
     scene, cam = _load_scene(args, param)
@@ -224,9 +233,10 @@ def main(argv=None) -> int:
 
     img = filmmod.image(film)
     if args.denoise:
+        mean_spp = float(np.mean(np.asarray(filmmod.spp(film))))
         img = postprocess.denoise(
-            img, filmmod.heat(film),
-            spp=float(np.mean(np.asarray(filmmod.spp(film)))))
+            img, filmmod.heat(film), spp=mean_spp,
+            variance=filmmod.variance(film) / max(mean_spp, 1.0))
     out = args.output
     ppmio.write_ppm(out, np.asarray(postprocess.tonemap_display(
         img, settings.gamma)))

@@ -139,8 +139,9 @@ def main(argv=None) -> int:
 
             img = filmmod.image(film)
             if denoise_on:
-                img = postprocess.denoise(img, filmmod.heat(film),
-                                          spp=max(spp_now, 1.0))
+                img = postprocess.denoise(
+                    img, filmmod.heat(film), spp=max(spp_now, 1.0),
+                    variance=filmmod.variance(film) / max(spp_now, 1.0))
             disp = np.asarray(postprocess.tonemap_display(img,
                                                           settings.gamma))
             fps = 1.0 / max(time.time() - t_last, 1e-6)

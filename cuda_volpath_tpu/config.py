@@ -159,7 +159,10 @@ class RenderSettings:
     # scatter are whole-pool ops, amortized over several march steps.
     # Swept on v5e: 8 was optimal when scatters waited for housekeeping;
     # with scatter_inline the balance moved to 12 (4→337k, 8→484k,
-    # 12→493k, 16→488k samples/s on the flagship scene).
+    # 12→493k, 16→488k samples/s on the flagship scene); re-swept after
+    # the round-2 register slimming + RNG lookahead (12 vs 16 within
+    # noise at one-sample items) and again with multi-sample items,
+    # where 12 clearly beats 16 (755k vs 712k at K16_R8).
     spawn_every: int = 12
     # March sub-steps per segment-setup pass: null-collision chains run
     # several events per fetch of the bound pyramid, amortizing setup,
@@ -179,6 +182,28 @@ class RenderSettings:
     # (PASSIVE envmap only — under MIS the scatter stage chains the envmap
     # NEE, which stays batched.)
     scatter_inline: bool = True
+    # Work-item granularity: each queue item is ``samples_per_item``
+    # consecutive samples of one pixel.  A lane folds each finished sample
+    # into per-lane accumulator registers (rgb, rgb², heat, count) and
+    # re-arms the next sample of the same pixel inline — the film
+    # scatter-add (a ~92 ns/row whole-pool op on v5e, measured; by far the
+    # priciest single op in the launch) then runs once per item instead of
+    # once per sample.  1 = reference-like one-sample items.
+    samples_per_item: int = 1
+    # Film-flush + work-queue-spawn cadence, in housekeeping periods: the
+    # flush pass (film scatter + spawn cumsum) runs every
+    # ``flush_every``-th housekeeping; the fold/re-arm pass runs at every
+    # one.  With multi-sample items lanes rarely need the queue, so the
+    # whole-pool scatter amortizes over flush_every*spawn_every
+    # micro-steps.  (The launch's final housekeeping always flushes.)
+    flush_every: int = 1
+    # Store the radiometric lane registers (throughput, radiance, sh_tr,
+    # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
+    # steps materialize every state leaf to HBM (gathers break fusion), so
+    # halving those 48 bytes/lane trims the dominant stream.  Math stays
+    # f32; only the store rounds (~0.4% relative per actual event update).
+    # Geometry (o, d, dist, …) and RNG state stay full width.
+    state_bf16: bool = False
     # Reference march semantics: draw-for-draw parity with the reference's
     # active kernel (__d_render_bounded_decomp + Tr_spectral,
     # src/volumeRender_kernel.cu:1958-2318, 754-808).  Requires a scene

@@ -95,15 +95,24 @@ def _flat_gather(data: jnp.ndarray, ix, iy, iz) -> jnp.ndarray:
         n = nx * ny * nz
         if n % 4 == 0:
             rows = jnp.take(data.reshape(-1, 4), flat_idx // 4, axis=0)
+            # Barrier: the profiler showed XLA fusing this gather into each
+            # consumer fusion and re-executing it per consumer (4× for the
+            # density fetch, 3× for the bound fetch).  The barrier pins one
+            # materialization; measured throughput-neutral on the current
+            # step structure (the duplicates overlapped other work) but it
+            # bounds gather work as the step gains consumers.
+            rows = jax.lax.optimization_barrier(rows)
             sub = flat_idx % 4
             return jnp.where(
                 sub == 0, rows[..., 0],
                 jnp.where(sub == 1, rows[..., 1],
                           jnp.where(sub == 2, rows[..., 2], rows[..., 3])))
         flat = data.reshape(-1)
-        return jnp.take(flat, flat_idx, axis=0)
+        return jax.lax.optimization_barrier(
+            jnp.take(flat, flat_idx, axis=0))
     flat = data.reshape(-1, data.shape[-1])
-    return jnp.take(flat, flat_idx, axis=0)
+    return jax.lax.optimization_barrier(
+        jnp.take(flat, flat_idx, axis=0))
 
 
 def sample_nearest(grid: Grid3D, pos_local: jnp.ndarray) -> jnp.ndarray:

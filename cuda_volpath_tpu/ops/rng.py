@@ -69,15 +69,17 @@ def init(pixel_x: jnp.ndarray, pixel_y: jnp.ndarray, sample_idx) -> jnp.ndarray:
     return state
 
 
-def next_float(state: jnp.ndarray):
-    """Uniform in [0, 1) via the float bit trick (reference src/sampler.h:24-28).
-
-    Sets the exponent bits of 1.0f and fills the 23-bit mantissa with the top
-    random bits, then subtracts 1.  Returns ``(new_state, float in [0,1))``.
-    """
-    state, raw = rng_next(state)
+def bits_to_float(raw: jnp.ndarray) -> jnp.ndarray:
+    """Raw u32 → uniform [0, 1) via the float bit trick (src/sampler.h:24-28):
+    exponent bits of 1.0f, top 23 random bits as mantissa, minus 1."""
     bits = UINT(0x3F800000) | (raw >> UINT(9))
-    return state, jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
+    return jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
+
+
+def next_float(state: jnp.ndarray):
+    """Uniform in [0, 1); returns ``(new_state, float in [0,1))``."""
+    state, raw = rng_next(state)
+    return state, bits_to_float(raw)
 
 
 def next_floats(state: jnp.ndarray, n: int):

@@ -41,8 +41,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int
-                       ) -> integrator.PathState:
+def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int,
+                       spp: int | None = None) -> integrator.PathState:
     """Global pool state: per-lane leaves (n_dev*pool, ...), queue cursors
     (n_dev,) — device d owns the contiguous item range
     [d*per, min((d+1)*per, total))."""
@@ -51,7 +51,10 @@ def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int
     next_item = np.minimum(np.arange(n_dev) * per, total_items)
     upper = np.minimum((np.arange(n_dev) + 1) * per, total_items)
     return st.replace(next_item=jnp.asarray(next_item, jnp.int32),
-                      total_items=jnp.asarray(upper, jnp.int32))
+                      total_items=jnp.asarray(upper, jnp.int32),
+                      spp_limit=jnp.full((n_dev,),
+                                         2**31 - 1 if spp is None else spp,
+                                         jnp.int32))
 
 
 def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
@@ -88,13 +91,13 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
         mesh = make_mesh()
     n_dev = mesh.devices.size
     npix = width * height
-    total = npix * spp
+    total = npix * (-(-spp // settings.samples_per_item))
     if total > 2**31 - 1:
         raise ValueError(f"work queue {total} items overflows int32; "
                          "render in chunks of fewer spp")
 
     launch = make_sharded_launch(settings, cam, width, height, mesh)
-    st = init_sharded_state(pool_per_device, n_dev, total)
+    st = init_sharded_state(pool_per_device, n_dev, total, spp)
     fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
 
     launches = 0

@@ -6,10 +6,12 @@ tracks one global spp (every pixel advances together, one kernel launch per
 sample), the wavefront pool retires samples asynchronously, so counts are
 per-pixel; once a render completes, every pixel has the same count again.
 
-Storage is one (npix + 1, 8) array — rgb, heat, count, 3 spare lanes — so
+Storage is one (npix + 1, 8) array — rgb, heat, count, rgb² — so
 retirement is a *single* row scatter-add (scatter-adds cost per-row on TPU
 like gathers; two separate adds for sum and count measurably doubled the
-accumulation cost).  The extra dummy row is a sink for masked lanes.
+accumulation cost).  The rgb² lanes give per-pixel sample variance for
+free (variance-scaled statistical tests, variance-guided denoising).  The
+extra dummy row is a sink for masked lanes.
 
 Unlike the reference (which only ever resets), films serialize — true
 checkpoint/resume of a progressive render (SURVEY.md §5).
@@ -24,7 +26,7 @@ from flax import struct
 
 @struct.dataclass
 class Film:
-    data: jnp.ndarray    # (npix + 1, 8): r, g, b, heat, count, spare×3
+    data: jnp.ndarray    # (npix + 1, 8): r, g, b, heat, count, r², g², b²
     width: int = struct.field(pytree_node=False)
     height: int = struct.field(pytree_node=False)
 
@@ -50,17 +52,24 @@ def reset(film: Film) -> Film:
     return film.replace(data=jnp.zeros_like(film.data))
 
 
+def add_rows(film: Film, pixel_idx: jnp.ndarray, rows: jnp.ndarray,
+             mask: jnp.ndarray) -> Film:
+    """Scatter-add pre-accumulated film rows (the film's own layout:
+    rgb, heat, count, rgb²).  Masked lanes go to the sink row."""
+    npix = film.width * film.height
+    idx = jnp.where(mask, pixel_idx, npix)
+    rows = jnp.where(mask[:, None], rows, 0.0)
+    return film.replace(data=film.data.at[idx].add(rows))
+
+
 def add_samples(film: Film, pixel_idx: jnp.ndarray, value: jnp.ndarray,
                 mask: jnp.ndarray) -> Film:
     """Scatter-add retired samples. ``value`` is (N, 4) rgb+heat; masked
     lanes go to the sink row."""
-    npix = film.width * film.height
-    idx = jnp.where(mask, pixel_idx, npix)
+    rgb = value[..., :3]
     row = jnp.concatenate(
-        [value, mask.astype(jnp.float32)[:, None],
-         jnp.zeros(value.shape[:-1] + (3,), jnp.float32)], axis=-1)
-    row = jnp.where(mask[:, None], row, 0.0)
-    return film.replace(data=film.data.at[idx].add(row))
+        [value, mask.astype(jnp.float32)[:, None], rgb * rgb], axis=-1)
+    return add_rows(film, pixel_idx, row, mask)
 
 
 def image(film: Film) -> jnp.ndarray:
@@ -81,9 +90,23 @@ def spp(film: Film) -> jnp.ndarray:
     return film.count[:-1].reshape(film.height, film.width)
 
 
+def variance(film: Film) -> jnp.ndarray:
+    """Per-pixel per-channel sample variance E[x²] − E[x]², (H, W, 3).
+
+    New capability over the reference framebuffer (which stores only the
+    sum, volumeRender.cpp:358-389) — powers variance-scaled statistical
+    assertions and variance-guided denoise weighting."""
+    c = jnp.maximum(film.count[:-1], 1.0)[:, None]
+    mean = film.data[:-1, :3] / c
+    mean_sq = film.data[:-1, 5:8] / c
+    v = jnp.maximum(mean_sq - mean * mean, 0.0)
+    return v.reshape(film.height, film.width, 3)
+
+
 def to_numpy_state(film: Film) -> dict:
     """Serializable checkpoint (resume support)."""
     return {"sum": np.asarray(film.sum), "count": np.asarray(film.count),
+            "sumsq": np.asarray(film.data[:, 5:8]),
             "width": film.width, "height": film.height}
 
 
@@ -92,5 +115,7 @@ def from_numpy_state(d: dict) -> Film:
     data = np.zeros((npix + 1, 8), np.float32)
     data[:, :4] = d["sum"]
     data[:, 4] = d["count"]
+    if "sumsq" in d:  # older checkpoints lack the variance lanes
+        data[:, 5:8] = d["sumsq"]
     return Film(data=jnp.asarray(data),
                 width=int(d["width"]), height=int(d["height"]))

@@ -138,7 +138,6 @@ class PathState:
     dist: jnp.ndarray         # (N,)
     t_max: jnp.ndarray        # (N,)
     inv_sigma: jnp.ndarray    # (N,)
-    inv_sigma_t: jnp.ndarray  # (N,) 1/σt' for event weights (path mode)
     sigma_t_prime: jnp.ndarray  # (N,)
     distc: jnp.ndarray        # (N,)
     sigma_c: jnp.ndarray      # (N,) control coefficient (path mode)
@@ -151,9 +150,16 @@ class PathState:
     # MIS registers (EnvmapMode.MIS only; dead pass-throughs otherwise)
     shadow_dir: jnp.ndarray   # (N,3) current shadow-march direction
     env_stage: jnp.ndarray    # (N,) bool — the envmap NEE is in flight/done
+    # per-lane film accumulator in the film's own row layout
+    # (r, g, b, heat, count, r², g², b²): finished samples fold here and
+    # the whole-pool film scatter-add runs once per work item / flush
+    # cadence instead of once per sample (see config.samples_per_item)
+    acc: jnp.ndarray          # (N,8) f32
     # work queue; shape (1,) so sharded pools carry one cursor per device
     next_item: jnp.ndarray    # (1,) i32
     total_items: jnp.ndarray  # (1,) i32
+    # sample count bound of the render (clips the last multi-sample item)
+    spp_limit: jnp.ndarray    # (1,) i32
 
 
 def init_state(pool: int) -> PathState:
@@ -165,12 +171,14 @@ def init_state(pool: int) -> PathState:
         pixel=jnp.full((pool,), -1, jnp.int32), sample=zi(pool),
         num_scatters=zi(pool), status=jnp.full((pool,), DONE, jnp.int32),
         shadow=jnp.zeros((pool,), bool), esc=jnp.zeros((pool,), bool),
-        dist=z(pool), t_max=z(pool), inv_sigma=z(pool), inv_sigma_t=z(pool),
+        dist=z(pool), t_max=z(pool), inv_sigma=z(pool),
         sigma_t_prime=z(pool), distc=z(pool), sigma_c=z(pool), d_max=z(pool),
         g_cur=z(pool), density_prime=z(pool),
         nee_coeff=z(pool, 3), sh_tr=z(pool, 3),
         shadow_dir=z(pool, 3), env_stage=jnp.zeros((pool,), bool),
-        next_item=zi(1), total_items=zi(1))
+        acc=z(pool, 8),
+        next_item=zi(1), total_items=zi(1),
+        spp_limit=jnp.full((1,), 2**31 - 1, jnp.int32))
 
 
 def _w(mask, a, b):
@@ -232,24 +240,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         return scene.replace(mat=scene.mat.replace(
             sigma_t=jnp.ones((3,), jnp.float32)))
 
-    def spawn(scene: Scene, cam: cammod.Camera,
-              st: PathState) -> PathState:
-        """Pull new (pixel, sample) work items into retired lanes."""
-        can = st.status == DONE
-        rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
-        item = st.next_item[0] + rank
-        ok = can & (item < st.total_items[0])
-        n_spawned = jnp.minimum(
-            jnp.sum(can.astype(jnp.int32)),
-            jnp.maximum(st.total_items[0] - st.next_item[0], 0))
-
-        pixel = item % npix
-        sample = item // npix
-        px = pixel % width
-        py = pixel // width
+    def _sample_regs(px, py, sample, throughput_like):
+        """Fresh per-sample registers: the (pixel, sample)-keyed RNG stream
+        and the initial throughput (shared by queue spawn and in-item
+        re-arm so multi-sample items are draw-for-draw identical to
+        one-sample items)."""
         new_rng = rngmod.init(px, py, sample)
-        o, d = cammod.generate_rays(cam, width, height, px, py)
-
         if settings.spectral == SpectralMode.MULTI_CHANNEL:
             # one wavelength per sample: channel = min((1-u)*3, 2.9999998)
             # drawn right after rng init; the sample writes channel ch
@@ -261,7 +257,28 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                              jnp.float32(2.9999998)).astype(jnp.int32)
             tp = jax.nn.one_hot(ch, 3, dtype=jnp.float32) * 3.0
         else:
-            tp = jnp.ones_like(st.throughput)
+            tp = jnp.ones_like(throughput_like)
+        return new_rng, tp
+
+    def spawn(scene: Scene, cam: cammod.Camera,
+              st: PathState) -> PathState:
+        """Pull new work items into retired lanes.  An item is
+        ``samples_per_item`` consecutive samples of one pixel; the lane
+        runs them back-to-back (fold_and_rearm) and flushes once."""
+        can = (st.status == DONE) & (st.pixel < 0)
+        rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
+        item = st.next_item[0] + rank
+        ok = can & (item < st.total_items[0])
+        n_spawned = jnp.minimum(
+            jnp.sum(can.astype(jnp.int32)),
+            jnp.maximum(st.total_items[0] - st.next_item[0], 0))
+
+        pixel = item % npix
+        sample = (item // npix) * settings.samples_per_item
+        px = pixel % width
+        py = pixel // width
+        new_rng, tp = _sample_regs(px, py, sample, st.throughput)
+        o, d = cammod.generate_rays(cam, width, height, px, py)
 
         return st.replace(
             o=_w(ok, o, st.o), d=_w(ok, d, st.d),
@@ -274,14 +291,21 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             status=jnp.where(ok, NEW_SEGMENT, st.status),
             shadow=jnp.where(ok, False, st.shadow),
             esc=jnp.where(ok, False, st.esc),
-            env_stage=jnp.where(ok, False, st.env_stage),
+            acc=_w(ok, jnp.zeros_like(st.acc), st.acc),
+            env_stage=(jnp.where(ok, False, st.env_stage) if use_mis
+                       else st.env_stage),
             next_item=st.next_item + n_spawned)
 
-    def retire(scene: Scene, st: PathState, film: filmmod.Film):
-        """Shade escapes, then accumulate finished samples
-        (kernel.cu:2306-2317: radiance clamped ≥0, × brightness,
-        heat = num_scatters)."""
-        flush = (st.status == DONE) & (st.pixel >= 0)
+    def fold_and_rearm(scene: Scene, cam: cammod.Camera,
+                       st: PathState) -> PathState:
+        """Shade escapes and fold finished samples into the lane
+        accumulator (kernel.cu:2306-2317: radiance clamped ≥0,
+        × brightness, heat = num_scatters); lanes whose item has samples
+        left re-arm the next sample of the same pixel immediately —
+        without touching the work queue or the film.  Item-complete lanes
+        park (num_scatters = -1 marks 'folded, awaiting flush')."""
+        complete = (st.status == DONE) & (st.pixel >= 0) \
+            & (st.num_scatters >= 0)
         # deferred escape shading (kernel.cu:2024-2032) — the envmap gather
         # runs here, at housekeeping cadence, not every micro-step
         bg = sunmod.background(scene.envmap.image, st.d, st.num_scatters,
@@ -291,28 +315,61 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             # under MIS escapes only contribute at depth 0
             # (the #else branch of kernel.cu:2026-2031)
             bg = _w(st.num_scatters == 0, bg, jnp.zeros_like(bg))
-        radiance = _w(flush & st.esc, st.radiance + bg * st.throughput,
+        radiance = _w(complete & st.esc, st.radiance + bg * st.throughput,
                       st.radiance)
         rgb = jnp.maximum(radiance, 0.0) * scene.mat.brightness
-        val = jnp.concatenate(
-            [rgb, st.num_scatters.astype(jnp.float32)[:, None]], axis=-1)
-        film = filmmod.add_samples(film, st.pixel, val, flush)
-        st = st.replace(radiance=radiance,
-                        pixel=jnp.where(flush, -1, st.pixel))
-        return st, film
+        one = jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)
+        row = jnp.concatenate(
+            [rgb, st.num_scatters.astype(jnp.float32)[:, None], one,
+             rgb * rgb], axis=-1)
+        acc = _w(complete, st.acc + row, st.acc)
+
+        next_sample = st.sample + 1
+        more = complete \
+            & (next_sample % settings.samples_per_item != 0) \
+            & (next_sample < st.spp_limit[0])
+        px = st.pixel % width
+        py = st.pixel // width
+        new_rng, tp = _sample_regs(px, py, next_sample, st.throughput)
+        o, d = cammod.generate_rays(cam, width, height, px, py)
+        return st.replace(
+            acc=acc,
+            o=_w(more, o, st.o), d=_w(more, d, st.d),
+            throughput=_w(more, tp, st.throughput),
+            radiance=_w(more, jnp.zeros_like(st.radiance), st.radiance),
+            rng=_w(more, new_rng, st.rng),
+            sample=jnp.where(more, next_sample, st.sample),
+            num_scatters=jnp.where(
+                more, 0, jnp.where(complete, -1, st.num_scatters)),
+            status=jnp.where(more, NEW_SEGMENT, st.status),
+            shadow=jnp.where(more, False, st.shadow),
+            esc=jnp.where(more, False, st.esc),
+            env_stage=(jnp.where(more, False, st.env_stage) if use_mis
+                       else st.env_stage))
+
+    def flush_film(st: PathState, film: filmmod.Film):
+        """The whole-pool film scatter-add (~92 ns/row on v5e — the
+        costliest single op in a launch; see config.flush_every)."""
+        fmask = (st.status == DONE) & (st.pixel >= 0)
+        film = filmmod.add_rows(film, st.pixel, st.acc, fmask)
+        return st.replace(pixel=jnp.where(fmask, -1, st.pixel)), film
 
     def do_scatter(st: PathState, m) -> PathState:
         """HG direction sampling + depth check (kernel.cu:2300-2304; loop
-        condition :2015).  Also exits shadow mode."""
-        rng2, u0 = _draw(st.rng, m)
-        rng2, u1 = _draw(rng2, m)
+        condition :2015).  Also exits shadow mode.  Both draws share one
+        mask, so the RNG state commits once (two-step lookahead)."""
+        rs1, raw0 = rngmod.rng_next(st.rng)
+        rs2, raw1 = rngmod.rng_next(rs1)
+        u0 = rngmod.bits_to_float(raw0)
+        u1 = rngmod.bits_to_float(raw1)
         new_d = phasemod.hg_sample(st.g_cur, st.d, u0, u1)
         deep = st.num_scatters >= settings.max_depth
         return st.replace(
-            rng=rng2,
+            rng=_w(m, rs2, st.rng),
             d=_w(m, new_d, st.d),
             shadow=jnp.where(m, False, st.shadow),
-            env_stage=jnp.where(m, False, st.env_stage),
+            env_stage=(jnp.where(m, False, st.env_stage) if use_mis
+                       else st.env_stage),
             status=jnp.where(m, jnp.where(deep, DONE, NEW_SEGMENT), st.status))
 
     def env_nee_start(scene: Scene, st: PathState, m):
@@ -372,10 +429,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         return st, scatter_now
 
     def housekeeping(scene: Scene, cam: cammod.Camera, st: PathState,
-                     film: filmmod.Film):
+                     film: filmmod.Film, flush: bool = True):
         """The batched per-``spawn_every`` pass: process pending scatters
         (under MIS the sun estimate is followed by the envmap estimate
-        before scattering), shade escapes + accumulate to film, respawn."""
+        before scattering), shade escapes + fold finished samples, re-arm
+        in-item lanes; on ``flush`` passes also scatter-add the film and
+        respawn from the work queue."""
         pend = st.status == SCATTER
         if use_mis:
             done_env = pend & st.env_stage
@@ -385,8 +444,10 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             # with inline scatter no lane can still be pending here — skip
             # the pool-wide HG pass entirely
             st = do_scatter(st, pend)
-        st, film = retire(scene, st, film)
-        st = spawn(scene, cam, st)
+        st = fold_and_rearm(scene, cam, st)
+        if flush:
+            st, film = flush_film(st, film)
+            st = spawn(scene, cam, st)
         return st, film
 
     def segment_setup(scene: Scene, st: PathState) -> PathState:
@@ -511,7 +572,6 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             dist=jnp.where(act, t_near, st.dist),
             distc=jnp.where(act, distc, st.distc),
             sigma_t_prime=jnp.where(act, sigma_t_prime, st.sigma_t_prime),
-            inv_sigma_t=jnp.where(act, 1.0 / sigma_t_prime, st.inv_sigma_t),
             inv_sigma=jnp.where(act, inv_sigma, st.inv_sigma),
             sigma_c=jnp.where(act, sigma_c, st.sigma_c),
             d_max=jnp.where(act, d_max_f, st.d_max),
@@ -626,8 +686,18 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         path = m & ~st.shadow
         shad = m & st.shadow
 
+        # ---- RNG: the free-flight draw and the event draw (path test u2 /
+        # shadow kill u3) occupy consecutive stream positions, so both come
+        # from one speculative two-step lookahead and the state commits in
+        # a single masked update instead of three — state streaming
+        # dominates; the extra rng_next is cheap VPU work.  Per-lane draw
+        # sequences are bit-identical to sequential masked draws.
+        rs1, raw1 = rngmod.rng_next(st.rng)
+        rs2, raw2 = rngmod.rng_next(rs1)
+        u = rngmod.bits_to_float(raw1)
+        u2 = rngmod.bits_to_float(raw2)
+
         # ---- advance distance (1 draw, both modes)
-        rng2, u = _draw(st.rng, m)
         dist = st.dist - jnp.log(u) * st.inv_sigma
 
         # ---- boundary tests
@@ -645,9 +715,13 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         pos_event = st.o + march_dir * dist[:, None]
         den = _sample_density(scene, pos_event, linear) * st.density_prime
 
-        # ---- second draw: path event test only (shadow weights are
-        # deterministic); consumed only by lanes with a real event
-        rng2, u2 = _draw(rng2, path & ~brk_path)
+        # which lanes consume the second draw: a path event test, plus the
+        # shadow kill draw under BINARY (shadow weights are deterministic
+        # under RATIO)
+        second = path & ~brk_path
+        if binary_shadow:
+            second = second | ev_sh
+        rng2 = _w(m, _w(second, rs2, rs1), st.rng)
 
         # path event: spectral-tracking weights (kernel.cu:2106-2141)
         sigma_t_den = (scene.mat.sigma_t[None, :] * den[:, None]
@@ -661,9 +735,14 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         e = u2 * c
         real = path & ~brk_path & (e < ps)
         null = path & ~brk_path & ~real
-        w_real = sigma_s_den * (st.inv_sigma_t * c
+        # 1/σt' is recomputed rather than carried as a register: a state
+        # leaf streams through every unrolled step, a reciprocal of the
+        # already-read sigma_t_prime is near-free (bit-identical: same op
+        # on the same input as the former segment-setup store)
+        inv_sigma_t = 1.0 / st.sigma_t_prime
+        w_real = sigma_s_den * (inv_sigma_t * c
                                 / jnp.maximum(ps, 1e-30))[:, None]
-        w_null = sigma_n_den * (st.inv_sigma_t * c
+        w_null = sigma_n_den * (inv_sigma_t * c
                                 / jnp.maximum(pn, 1e-30))[:, None]
         throughput = st.throughput
         throughput = _w(real, throughput * w_real, throughput)
@@ -677,12 +756,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                   * st.inv_sigma[:, None])
         if binary_shadow:
             # Tr_spectral (kernel.cu:754-808): one shared acceptance draw
-            # kills channel ch with probability p_ch — transmittance flags
-            # are 0/1 and the march stops at the first event where every
-            # channel is dead (the dead-shadow exit below), which makes
-            # optically thick chords ~O(1) events like the reference.
-            rng2, u3 = _draw(rng2, ev_sh)
-            w_sh = (u3[:, None] >= p_kill).astype(jnp.float32)
+            # (u2, the second lookahead word) kills channel ch with
+            # probability p_ch — transmittance flags are 0/1 and the march
+            # stops at the first event where every channel is dead (the
+            # dead-shadow exit below), which makes optically thick chords
+            # ~O(1) events like the reference.
+            w_sh = (u2[:, None] >= p_kill).astype(jnp.float32)
         else:
             # deterministic expected-value weight w_ch = 1 - p_ch
             w_sh = jnp.maximum(1.0 - p_kill, 0.0)
@@ -725,40 +804,67 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         return st.replace(status=jnp.where(scatter_now | sh_complete,
                                            SCATTER, st.status))
 
+    # bf16 radiometric-state storage (settings.state_bf16): the unrolled
+    # steps materialize every state leaf between gathers, so storing the
+    # 4×(N,3) radiometric registers half-width halves that stream.  The
+    # cast sits at each phase boundary (XLA folds it into the producing
+    # fusion); the launch interface stays f32 (init_state, checkpoints,
+    # donation all unchanged).
+    _rad_fields = ("throughput", "radiance", "sh_tr", "nee_coeff")
+    _sdt = jnp.bfloat16 if settings.state_bf16 else jnp.float32
+
+    def _pack(st: PathState) -> PathState:
+        if _sdt == jnp.float32:
+            return st
+        return st.replace(**{f: getattr(st, f).astype(_sdt)
+                             for f in _rad_fields})
+
+    def _unpack(st: PathState) -> PathState:
+        if _sdt == jnp.float32:
+            return st
+        return st.replace(**{f: getattr(st, f).astype(jnp.float32)
+                             for f in _rad_fields})
+
     def step(scene: Scene, cam: cammod.Camera, st: PathState,
              film: filmmod.Film):
         scene = mono_scene(scene)
+        st = _pack(st)
         st, film = housekeeping(scene, cam, st, film)
         st = step_inner(scene, st)
-        return st, film
+        return _unpack(st), film
 
     scatter_inline = settings.scatter_inline and not use_mis
 
     def step_inner(scene: Scene, st: PathState) -> PathState:
-        st = segment_setup(scene, st)
+        st = _pack(segment_setup(scene, st))
         for _ in range(settings.marches_per_step):
-            st = march(scene, st)
+            st = _pack(march(scene, st))
             if scatter_inline:
                 # immediate HG scatter: the lane re-enters NEW_SEGMENT next
                 # pass instead of idling until housekeeping (same per-lane
                 # draw sequence, just consumed earlier)
-                st = do_scatter(st, st.status == SCATTER)
+                st = _pack(do_scatter(st, st.status == SCATTER))
         return st
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def launch(scene: Scene, cam: cammod.Camera, st: PathState,
                film: filmmod.Film):
         scene = mono_scene(scene)
+        st = _pack(st)
         # Python-unrolled (not fori_loop) — see module docstring.
-        # Housekeeping (scatter/retire/spawn) runs every spawn_every steps:
-        # those passes pay pool-wide transcendentals, a cumsum and film
-        # scatter-adds for the ~2%% of lanes that need them per step.
+        # Housekeeping (scatter/fold/rearm) runs every spawn_every steps;
+        # the film scatter-add + queue spawn only on every flush_every-th
+        # housekeeping (and always at the launch boundary, so the host
+        # sees an up-to-date film between launches).
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
-                st, film = housekeeping(scene, cam, st, film)
+                hk = i // settings.spawn_every
+                st, film = housekeeping(
+                    scene, cam, st, film,
+                    flush=(hk % settings.flush_every == 0))
             st = step_inner(scene, st)
-        st, film = housekeeping(scene, cam, st, film)
-        return st, film
+        st, film = housekeeping(scene, cam, st, film, flush=True)
+        return _unpack(st), film
 
     return step, launch
 
@@ -835,11 +941,13 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, width, height)
     st = init_state(pool)
-    total = npix * spp
+    k = settings.samples_per_item
+    total = npix * (-(-spp // k))   # items = ceil(spp / k) per pixel
     if total > 2**31 - 1:
         raise ValueError(f"work queue {total} items overflows int32; "
                          "render in chunks of fewer spp")
-    st = st.replace(total_items=jnp.full((1,), total, jnp.int32))
+    st = st.replace(total_items=jnp.full((1,), total, jnp.int32),
+                    spp_limit=jnp.full((1,), spp, jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
 

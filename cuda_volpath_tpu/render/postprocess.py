@@ -52,19 +52,20 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 _TAPS = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def atrous_denoise(img: jnp.ndarray, heat: jnp.ndarray,
-                   sigma_color: float = 0.25, sigma_heat: float = 4.0,
-                   iterations: int = 4) -> jnp.ndarray:
-    """Edge-aware à-trous filter of an (H, W, 3) HDR image.
-
-    ``heat`` (H, W) is the mean scatter count — a cheap geometry/feature
-    proxy for volumes (silhouettes and optical-depth discontinuities show
-    up as heat edges), standing in for the albedo/normal guides the OptiX
-    LDR model uses.
-    """
+@functools.partial(jax.jit, static_argnames=("iterations", "has_var"))
+def _atrous(img: jnp.ndarray, heat: jnp.ndarray, variance: jnp.ndarray,
+            sigma_color: float, sigma_heat: float, var_scale: float,
+            iterations: int, has_var: bool) -> jnp.ndarray:
     heat = heat[..., None]
     out = img
+    if has_var:
+        # SVGF-style noise adaptation: widen the color kernel where the
+        # pixel mean is noisy (variance is Var(sample)/spp from the film's
+        # E[x²] lanes), tighten it where the estimate has converged — so
+        # smoothing tracks the actual Monte-Carlo error instead of one
+        # global sigma.  (Schied et al. 2017 use σ·sqrt(var); the squared
+        # form below keeps the weight exp-linear in variance.)
+        vsum = jnp.sum(variance, axis=-1, keepdims=True)
     for it in range(iterations):
         step = 1 << it
         acc = jnp.zeros_like(out)
@@ -75,13 +76,41 @@ def atrous_denoise(img: jnp.ndarray, heat: jnp.ndarray,
                 ph = _shift2d(heat, iy * step, ix * step)
                 dc = jnp.sum((p - out) ** 2, axis=-1, keepdims=True)
                 dh = (ph - heat) ** 2
+                denom = jnp.float32(sigma_color ** 2)
+                if has_var:
+                    denom = denom + jnp.float32(var_scale) * (
+                        vsum + _shift2d(vsum, iy * step, ix * step))
                 w = (wy * wx) * jnp.exp(
-                    -dc / jnp.float32(sigma_color ** 2)
-                    - dh / jnp.float32(sigma_heat ** 2))
+                    -dc / denom - dh / jnp.float32(sigma_heat ** 2))
                 acc = acc + p * w
                 wacc = wacc + w
         out = acc / jnp.maximum(wacc, 1e-8)
     return out
+
+
+def atrous_denoise(img: jnp.ndarray, heat: jnp.ndarray,
+                   variance: jnp.ndarray | None = None,
+                   sigma_color: float = 0.25, sigma_heat: float = 4.0,
+                   var_scale: float = 4.0,
+                   iterations: int = 4) -> jnp.ndarray:
+    """Edge-aware à-trous filter of an (H, W, 3) HDR image.
+
+    ``heat`` (H, W) is the mean scatter count — a cheap geometry/feature
+    proxy for volumes (silhouettes and optical-depth discontinuities show
+    up as heat edges), standing in for the albedo/normal guides the OptiX
+    LDR model uses.
+
+    ``variance`` (H, W, 3), if given, is the per-pixel variance of the
+    *mean* (film sample variance / spp): the color kernel widens with the
+    local Monte-Carlo error, so noisy pixels smooth harder and converged
+    detail is preserved — a capability the reference's fixed OptiX model
+    has no access to (the film there stores only the sum,
+    volumeRender.cpp:358-389)."""
+    has_var = variance is not None
+    if variance is None:
+        variance = jnp.zeros_like(img)
+    return _atrous(img, heat, variance, sigma_color, sigma_heat, var_scale,
+                   iterations, has_var)
 
 
 def denoise(img: jnp.ndarray, heat: jnp.ndarray, spp: float = 1.0,

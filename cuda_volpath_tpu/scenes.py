@@ -39,6 +39,26 @@ def _cached_julia(n: int) -> np.ndarray:
     return vol
 
 
+def _cached_sunsky(sun_x: float, sun_y: float):
+    """Disk-cached Hosek envmap + sun constants (the CPU bake is ~minutes
+    of numpy per scene load; the reference equally re-bakes only when the
+    sun moves, volumeRender.cpp:276-345)."""
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    f = _CACHE / f"sunsky_{sun_x}_{sun_y}.npz"
+    from .lighting import envmap as envmod
+    if f.exists():
+        d = np.load(f)
+        return (envmod.build(d["img"]), d["sun_dir"], d["sun_directional"],
+                d["sun_disk"])
+    img, sun_dir, sun_disk = sunskymod.bake(sun_x, sun_y)
+    from .lighting import sun as sunmod
+    directional = np.asarray(
+        sun_disk * np.pi * sunmod.SUN_DISK_RADIUS ** 2, np.float32)
+    np.savez_compressed(f, img=img, sun_dir=sun_dir,
+                        sun_directional=directional, sun_disk=sun_disk)
+    return envmod.build(img), sun_dir, directional, sun_disk
+
+
 def flagship(n: int = 256, param: Param | None = None,
              sun_x: float = 0.5, sun_y: float = 0.2,
              bake_opacity: bool = True, opacity_dt: float = 0.004,
@@ -50,8 +70,7 @@ def flagship(n: int = 256, param: Param | None = None,
     """
     param = param or Param()
     vol = _cached_julia(n)
-    env, sun_dir, sun_directional, sun_disk = \
-        sunskymod.make_envmap_and_sun(sun_x, sun_y)
+    env, sun_dir, sun_directional, sun_disk = _cached_sunsky(sun_x, sun_y)
 
     mat = materials_from_param(param)
     scene = make_scene(vol, mat, envmap=env,
@@ -138,8 +157,7 @@ def cloud(n: int = 256, param: Param | None = None,
     """Procedural dense-cloud benchmark scene (WDAS-cloud content class)."""
     param = param or Param()
     vol = _cached_cloud(n)
-    env, sun_dir, sun_directional, sun_disk = \
-        sunskymod.make_envmap_and_sun(sun_x, sun_y)
+    env, sun_dir, sun_directional, sun_disk = _cached_sunsky(sun_x, sun_y)
     mat = materials_from_param(param)
     scene = make_scene(vol, mat, envmap=env,
                        sun_dir=sun_dir, sun_power=sun_directional,

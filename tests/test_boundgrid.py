@@ -113,6 +113,33 @@ def test_opacity_bake_constant_volume():
     np.testing.assert_allclose(got, expect, atol=0.03)
 
 
+def test_opacity_dt_regression():
+    """The flagship scene bakes its sun-opacity cache at dt=0.004 — 4×
+    coarser than the reference's 0.001 (kernel.cu:499).  Bound the error
+    that introduces through the deep-scatter NEE shortcut
+    a = exp(-σt·ρ'·od) (kernel.cu:2181-2196) at the flagship's own
+    deep-scatter extinction ρ' = (1-g)·density ≈ 98.
+
+    Measured on the quantized blob: max |Δod| ≈ 0.0015, max |Δa| ≈ 0.006 —
+    the coarser cache costs <1% attenuation error.  Asserted with ~2.5×
+    headroom; a regression (e.g. an off-by-one march step) trips it."""
+    n = 24
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    c = (n - 1) / 2
+    r2 = ((xx - c) ** 2 + (yy - c) ** 2 + (zz - c) ** 2) / (n / 3) ** 2
+    vol = np.exp(-r2).astype(np.float32)
+    g = gridmod.make_grid(jnp.asarray(gridmod.quantize_u8(vol)))
+    light = np.array([0.5826, 0.766, 0.2717], np.float32)
+    light /= np.linalg.norm(light)
+    od_ref = np.asarray(opacity.bake(g, light, dt=0.001))
+    od_fast = np.asarray(opacity.bake(g, light, dt=0.004))
+    assert np.abs(od_fast - od_ref).max() < 0.004
+    rho = (1.0 - 0.877) * 800.0  # hyperion-reduced flagship extinction
+    a_ref = np.exp(-rho * od_ref)
+    a_fast = np.exp(-rho * od_fast)
+    assert np.abs(a_fast - a_ref).max() < 0.02
+
+
 def test_native_multiscale_matches_numpy(rng_np):
     from cuda_volpath_tpu.volume import loaders
     vol = (rng_np.random((24, 17, 21)) * 255).astype(np.uint8)

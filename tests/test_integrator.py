@@ -139,10 +139,90 @@ def test_deterministic_and_pool_invariant():
     np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
+def test_multi_sample_items_equivalent():
+    """``samples_per_item`` K>1 folds K consecutive samples of one pixel
+    into per-lane accumulator registers before the film scatter-add — the
+    per-lane RNG streams are (pixel, sample)-keyed, so the result must be
+    draw-for-draw identical to one-sample items (up to scatter-add
+    ordering), including when spp does not divide K and across pools."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=20.0, albedo=(0.9, 0.8, 0.7),
+                                     g=0.3))
+    scene = make_scene(vol, mat, sun_dir=(0.3, 0.9, 0.3),
+                       sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    base = dict(precompute_opacity=False, steps_per_launch=4)
+    f1 = _render(scene, RenderSettings(**base), w=8, h=8, spp=12, pool=256)
+    f2 = _render(scene, RenderSettings(samples_per_item=4, flush_every=2,
+                                       **base), w=8, h=8, spp=12, pool=256)
+    f3 = _render(scene, RenderSettings(samples_per_item=4, flush_every=2,
+                                       **base), w=8, h=8, spp=12, pool=64)
+    # K=5 does not divide spp=12: the last item is clipped by spp_limit
+    f4 = _render(scene, RenderSettings(samples_per_item=5, **base),
+                 w=8, h=8, spp=12, pool=256)
+    for f in (f1, f2, f3, f4):
+        assert (np.asarray(filmmod.spp(f)) == 12).all()
+    a, b, c, d = (np.asarray(filmmod.image(f)) for f in (f1, f2, f3, f4))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d, a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(filmmod.variance(f2)),
+                               np.asarray(filmmod.variance(f1)),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(filmmod.heat(f2)),
+                                  np.asarray(filmmod.heat(f1)))
+
+
+def test_state_bf16_close_to_f32():
+    """bf16 radiometric-state storage (config.state_bf16) rounds only the
+    between-step stores (~0.4% relative per event update) — a short render
+    must stay within a few percent of the f32 pipeline, not just finite."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=15.0, albedo=(0.9, 0.8, 0.7),
+                                     g=0.3))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=(0.3, 0.9, 0.3), sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    base = dict(precompute_opacity=False, steps_per_launch=4)
+    f32 = _render(scene, RenderSettings(**base), w=8, h=8, spp=16, pool=256)
+    b16 = _render(scene, RenderSettings(state_bf16=True, **base),
+                  w=8, h=8, spp=16, pool=256)
+    a = np.asarray(filmmod.image(f32))
+    b = np.asarray(filmmod.image(b16))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b.mean(axis=(0, 1)), a.mean(axis=(0, 1)),
+                               rtol=0.05)
+
+
+def _mean_and_sem(film):
+    """Per-channel grand mean and its standard error from the film's
+    variance lanes: Var(mean) = Σ_i var_i / (npix² · spp)."""
+    img = np.asarray(filmmod.image(film))
+    var = np.asarray(filmmod.variance(film))
+    spp = np.asarray(filmmod.spp(film))[..., None]
+    npix = img.shape[0] * img.shape[1]
+    sem = np.sqrt((var / np.maximum(spp, 1)).sum(axis=(0, 1))) / npix
+    return img.mean(axis=(0, 1)), sem
+
+
+def _assert_means_agree(fa, fb, k=4.0, max_rel_sem=0.05):
+    """|Δmean| must be within k·σ of the combined Monte-Carlo error, and
+    the error itself must be small enough for the test to have power —
+    this fails on a ~2-3% estimator bias where a loose rtol would not."""
+    a, sa = _mean_and_sem(fa)
+    b, sb = _mean_and_sem(fb)
+    tol = k * np.sqrt(sa * sa + sb * sb)
+    assert (tol < max_rel_sem * np.abs(a) + 1e-7).all(), (
+        f"test underpowered: sem {tol} vs means {a} — raise spp")
+    assert (np.abs(a - b) <= tol).all(), (
+        f"means differ beyond {k}σ: {a} vs {b}, tol {tol}")
+
+
 def test_multi_channel_matches_spectral_mean():
     """One-wavelength-per-sample mode (MULTI_CHANNEL, kernel.cu:1319-1321,
     1583-1586) is an unbiased single-channel estimator of the same
-    transport — per-channel image means must match the spectral tracker."""
+    transport — per-channel means must match the spectral tracker within
+    Monte-Carlo error (variance-scaled, not a loose rtol)."""
     vol = _blob_volume(16)
     mat = materials_from_param(Param(density=15.0, albedo=(0.9, 0.8, 0.7),
                                      sigma_t=(1.0, 0.7, 0.4), g=0.3))
@@ -150,13 +230,13 @@ def test_multi_channel_matches_spectral_mean():
                        sun_dir=(0.3, 0.9, 0.3), sun_power=(2.0, 2.0, 2.0),
                        sun_power_original=(50.0, 50.0, 50.0))
     base = dict(precompute_opacity=False, steps_per_launch=4)
-    f_sp = _render(scene, RenderSettings(**base), w=8, h=8, spp=64, pool=2048)
+    # spp is queue length, not graph shape — raising it costs runtime only
+    f_sp = _render(scene, RenderSettings(**base), w=8, h=8, spp=768,
+                   pool=2048)
     f_mc = _render(scene, RenderSettings(
         spectral=SpectralMode.MULTI_CHANNEL, **base),
-        w=8, h=8, spp=96, pool=2048)
-    a = np.asarray(filmmod.image(f_sp)).mean(axis=(0, 1))
-    b = np.asarray(filmmod.image(f_mc)).mean(axis=(0, 1))
-    np.testing.assert_allclose(b, a, rtol=0.18)
+        w=8, h=8, spp=2304, pool=2048)
+    _assert_means_agree(f_sp, f_mc, max_rel_sem=0.12)
 
 
 def test_mono_is_achromatic_spectral():
@@ -195,12 +275,12 @@ def test_mis_matches_passive_mean():
     scene = make_scene(vol, mat, envmap=env)
     base = dict(sun_light=False, precompute_opacity=False,
                 steps_per_launch=4)
-    f_p = _render(scene, RenderSettings(**base), w=8, h=8, spp=64, pool=2048)
+    f_p = _render(scene, RenderSettings(**base), w=8, h=8, spp=768,
+                  pool=2048)
     f_m = _render(scene, RenderSettings(
-        envmap_mode=EnvmapMode.MIS, **base), w=8, h=8, spp=64, pool=2048)
-    a = np.asarray(filmmod.image(f_p)).mean(axis=(0, 1))
-    b = np.asarray(filmmod.image(f_m)).mean(axis=(0, 1))
-    np.testing.assert_allclose(b, a, rtol=0.1)
+        envmap_mode=EnvmapMode.MIS, **base), w=8, h=8, spp=768, pool=2048)
+    # variance-scaled: would fail on a single-percent estimator bias
+    _assert_means_agree(f_p, f_m)
 
 
 def test_heat_channel_and_counts():

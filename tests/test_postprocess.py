@@ -42,6 +42,41 @@ def test_denoiser_preserves_heat_edges(rng_np):
     assert abs(den[:, w // 2 + 2].mean() - 1.0) < 0.05
 
 
+def test_variance_guided_denoise(rng_np):
+    """With the film's variance lanes as guide, smoothing tracks the local
+    Monte-Carlo error: noisy regions (high variance) filter harder while a
+    zero-variance detail edge survives even a wide color sigma."""
+    h = w = 32
+    # left half: converged sharp stripes (zero variance); right half: flat
+    # 0.5 with strong noise (high variance)
+    img = np.full((h, w, 3), 0.5, np.float32)
+    img[:, : w // 2] = np.where((np.arange(w // 2) // 2 % 2)[None, :, None]
+                                .astype(bool), 1.0, 0.0)
+    noise = rng_np.normal(0, 0.25, (h, w // 2, 3)).astype(np.float32)
+    img[:, w // 2:] += noise
+    var = np.zeros((h, w, 3), np.float32)
+    var[:, w // 2:] = 0.25 ** 2
+    heat = jnp.zeros((h, w), jnp.float32)
+    den = np.asarray(pp.atrous_denoise(
+        jnp.asarray(img), heat, variance=jnp.asarray(var),
+        sigma_color=0.05))
+    # noisy flat half: residual noise well below input
+    assert den[:, w // 2 + 2:].std() < img[:, w // 2 + 2:].std() * 0.4
+    # converged stripes: contrast preserved despite a tight sigma_color —
+    # the zero-variance guide keeps the kernel narrow there (columns
+    # within the widest tap's reach of the noisy half bleed a little gray,
+    # so assert stripe contrast rather than per-pixel equality)
+    on = (np.arange(w // 2) // 2 % 2).astype(bool)
+    contrast = (den[4:-4, : w // 2][:, on].mean()
+                - den[4:-4, : w // 2][:, ~on].mean())
+    assert contrast > 0.75, f"stripe contrast collapsed: {contrast}"
+    # unguided filtering at the same sigma leaves more noise on the right
+    # (fixed narrow kernel cannot adapt to the noise level)
+    den0 = np.asarray(pp.atrous_denoise(jnp.asarray(img), heat,
+                                        sigma_color=0.05))
+    assert den[:, w // 2 + 2:].std() < den0[:, w // 2 + 2:].std()
+
+
 def test_denoise_blend_fades_with_spp(rng_np):
     h = w = 16
     noisy = rng_np.random((h, w, 3)).astype(np.float32)
