@@ -31,7 +31,10 @@ def main():
 
     width, height = (int(v) for v in
                      os.environ.get("BENCH_SIZE", "960x512").split("x"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "30"))
+    # 120 s default: with multi-sample work items the flush herd cycles
+    # every ~600 micro-steps, and a 30 s window (~2 cycles) carries ±8%
+    # phase noise; ~9 cycles brings it under ±2% (see BENCH.md).
+    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
     pool = int(os.environ.get("BENCH_POOL", str(1 << 20)))
     steps = int(os.environ.get("BENCH_STEPS", "128"))  # bigger launches: fewer tunnel pulls (+5% measured)
     # BENCH_SCENE=cloud benches the dense-cloud scene (WDAS content class)

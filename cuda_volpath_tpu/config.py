@@ -188,15 +188,20 @@ class RenderSettings:
     # re-arms the next sample of the same pixel inline — the film
     # scatter-add (a ~92 ns/row whole-pool op on v5e, measured; by far the
     # priciest single op in the launch) then runs once per item instead of
-    # once per sample.  1 = reference-like one-sample items.
-    samples_per_item: int = 1
+    # once per sample.  1 = reference-like one-sample items.  Swept honest
+    # (long-window, phase-mixed warmup — see BENCH.md "the phase trap"):
+    # K8 with flush_every=8 is the v5e optimum (602k vs 562k at K1);
+    # larger K inflates pool idle/straggler cost (K16 579k, K32 486k).
+    samples_per_item: int = 8
     # Film-flush + work-queue-spawn cadence, in housekeeping periods: the
     # flush pass (film scatter + spawn cumsum) runs every
     # ``flush_every``-th housekeeping; the fold/re-arm pass runs at every
     # one.  With multi-sample items lanes rarely need the queue, so the
     # whole-pool scatter amortizes over flush_every*spawn_every
     # micro-steps.  (The launch's final housekeeping always flushes.)
-    flush_every: int = 1
+    # Swept with samples_per_item: 8 (R4 596k / R8 602k at K8 — the
+    # flush savings beat the slightly longer item-boundary parking).
+    flush_every: int = 8
     # Store the radiometric lane registers (throughput, radiance, sh_tr,
     # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
     # steps materialize every state leaf to HBM (gathers break fusion), so
