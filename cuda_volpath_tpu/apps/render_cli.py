@@ -85,6 +85,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write the scatter-count heat AOV as .ppm")
     p.add_argument("--denoise", action="store_true",
                    help="apply the edge-aware denoiser post-pass")
+    p.add_argument("--firefly-clamp", type=float, default=None,
+                   metavar="NSIGMA", nargs="?", const=8.0,
+                   help="variance-aware firefly suppression before "
+                   "display output (opt-in; biased — see "
+                   "postprocess.firefly_clamp)")
     p.add_argument("--checkpoint", default=None,
                    help="film checkpoint path (.npz); resumes if it exists")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -145,6 +150,14 @@ def _load_scene(args, param):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor JAX_PLATFORMS even under backend plugins whose import hook
+        # probes their device transport regardless of the env var (the
+        # remote-TPU tunnel does): pin the platform in-process before any
+        # backend initialization, so e.g. JAX_PLATFORMS=cpu renders on the
+        # host while a benchmark owns the single-owner TPU tunnel.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from ..config import (Param, RenderSettings, Tracker, FilterMode,
                           ShadowMode)
@@ -232,6 +245,11 @@ def main(argv=None) -> int:
         print(f"# checkpoint -> {args.checkpoint}", file=sys.stderr)
 
     img = filmmod.image(film)
+    if args.firefly_clamp is not None:
+        mean_spp = float(np.mean(np.asarray(filmmod.spp(film))))
+        img = postprocess.firefly_clamp(
+            img, filmmod.variance(film) / max(mean_spp, 1.0),
+            nsigma=args.firefly_clamp)
     if args.denoise:
         mean_spp = float(np.mean(np.asarray(filmmod.spp(film))))
         img = postprocess.denoise(

@@ -64,6 +64,12 @@ def main(argv=None) -> int:
     ap.add_argument("--density", type=float, default=None)
     args = ap.parse_args(argv)
 
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even when a backend plugin's hook probes its
+        # transport regardless (the remote-TPU tunnel does)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from .. import scenes
     from ..config import Param, RenderSettings

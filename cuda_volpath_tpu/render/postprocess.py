@@ -113,6 +113,30 @@ def atrous_denoise(img: jnp.ndarray, heat: jnp.ndarray,
                    iterations, has_var)
 
 
+@jax.jit
+def firefly_clamp(img: jnp.ndarray, variance: jnp.ndarray,
+                  nsigma: float = 8.0) -> jnp.ndarray:
+    """Variance-aware firefly suppression (off by default — reference
+    parity keeps the raw estimator; enable with the CLI's
+    ``--firefly-clamp``).
+
+    A pixel is clamped to 2× its 3×3 neighborhood median plus
+    ``nsigma``·σ of its own Monte-Carlo error (``variance`` is the
+    per-pixel variance of the mean, film sample variance / spp).  The
+    σ term keeps noisy-but-honest pixels tolerant while the estimate is
+    rough; the 2×-median margin passes smooth bright detail.  A genuine
+    single-pixel bright feature is locally indistinguishable from a
+    firefly, which is why this is opt-in and the raw estimator stays the
+    default.  The binary `Tr_spectral` shadow estimator's rare
+    huge-weight samples (the teaser sparkle) are the target."""
+    stack = jnp.stack([_shift2d(img, dy, dx)
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=0)
+    med = jnp.median(stack, axis=0)
+    bound = 2.0 * med + jnp.float32(nsigma) * jnp.sqrt(
+        jnp.maximum(variance, 0.0)) + jnp.float32(1e-6)
+    return jnp.minimum(img, bound)
+
+
 def denoise(img: jnp.ndarray, heat: jnp.ndarray, spp: float = 1.0,
             **kw) -> jnp.ndarray:
     """Denoiser entry point with the reference's 1/spp blend

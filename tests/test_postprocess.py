@@ -77,6 +77,24 @@ def test_variance_guided_denoise(rng_np):
     assert den[:, w // 2 + 2:].std() < den0[:, w // 2 + 2:].std()
 
 
+def test_firefly_clamp(rng_np):
+    """The variance-aware clamp kills an isolated huge-weight spike but
+    leaves smooth detail and noisy-but-honest pixels alone."""
+    h = w = 16
+    img = np.full((h, w, 3), 0.4, np.float32)
+    img[:, : w // 2] = 3.0          # smooth bright region: must survive
+    var = np.full((h, w, 3), 1e-6, np.float32)
+    img[8, 12] = 500.0              # firefly: one converged-looking spike
+    noisy_val = 1.2
+    img[3, 12] = noisy_val          # honest outlier with matching sigma
+    var[3, 12] = 1.0                # sigma=1 -> bound ~ 0.8 + 8 > value
+    out = np.asarray(pp.firefly_clamp(jnp.asarray(img), jnp.asarray(var)))
+    assert out[8, 12].max() < 2.0          # spike clamped to ~2x median
+    assert np.allclose(out[3, 12], noisy_val)   # tolerant while noisy
+    assert np.allclose(out[:, : w // 2 - 1], 3.0)  # smooth detail intact
+    assert np.allclose(out[12, 12], 0.4)
+
+
 def test_denoise_blend_fades_with_spp(rng_np):
     h = w = 16
     noisy = rng_np.random((h, w, 3)).astype(np.float32)

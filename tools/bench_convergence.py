@@ -29,7 +29,12 @@ def main() -> int:
     ap.add_argument("--pool", type=int, default=1 << 20)
     args = ap.parse_args()
 
+    import os
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even when a backend plugin's hook probes its
+        # transport regardless (the remote-TPU tunnel does)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent.parent / ".cache" / "xla"))
     import numpy as np
