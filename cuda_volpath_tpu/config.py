@@ -202,6 +202,15 @@ class RenderSettings:
     # Swept with samples_per_item: 8 (R4 596k / R8 602k at K8 — the
     # flush savings beat the slightly longer item-boundary parking).
     flush_every: int = 8
+    # Cadence (in micro-steps) of the light fold/re-arm pass between
+    # housekeepings: a lane whose sample completes otherwise idles until
+    # the next spawn_every boundary (mean spawn_every/2 steps).  The pass
+    # costs one pool-wide envmap gather (deferred escape shading) plus
+    # cheap masked VPU work; values < spawn_every trade that gather for
+    # lower re-arm latency.  Draw sequences are (pixel, sample)-keyed, so
+    # the cadence cannot change the rendered result.  Default == spawn_every
+    # (no extra passes — the swept round-2 configuration).
+    rearm_every: int = 12
     # Store the radiometric lane registers (throughput, radiance, sh_tr,
     # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
     # steps materialize every state leaf to HBM (gathers break fusion), so

@@ -606,11 +606,13 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                                  jnp.where(complete, SCATTER, st.status)))
         return st
 
-    def nee_prep(scene: Scene, st: PathState, col, pos):
+    def nee_prep(scene: Scene, st: PathState, col, pos, od_packed=None):
         """On a real collision: compute the NEE coefficient; either take the
         baked-opacity shortcut and scatter now, or enter segmented shadow
         marching (kernel.cu:2161-2217; Tr_spectral preamble
-        kernel.cu:763-780)."""
+        kernel.cu:763-780).  ``od_packed`` is the baked optical depth at
+        ``pos`` when the march already fetched it from the packed row
+        table; ``None`` falls back to a separate opacity-grid gather."""
         # post-increment hyperion (kernel.cu:2168-2178)
         _, rho2 = _hyperion(st.num_scatters, scene.mat.g, scene.mat.density)
 
@@ -621,7 +623,8 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
 
         if settings.sun_light and settings.precompute_opacity:
             shortcut = col & (st.sample > 10) & (st.num_scatters > 20)
-            od = gridmod.sample_world(scene.opacity, pos, linear=op_linear)
+            od = od_packed if od_packed is not None else \
+                gridmod.sample_world(scene.opacity, pos, linear=op_linear)
             a = jnp.exp(-scene.mat.sigma_t[None, :] * (rho2 * od)[:, None])
             radiance = _w(shortcut, st.radiance + nee_coeff * a, st.radiance)
         else:
@@ -708,12 +711,35 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         sh_complete = sh_end & (st.t_max >= st.distc)
         ev_sh = shad & ~sh_end
 
-        # ---- one density fetch serves both modes
+        # ---- one fetch serves both modes — and, when the scene carries the
+        # packed [density, od₂₄] row table, the NEE opacity shortcut too.
+        # Every lane consumes at most one of (density, od): marching lanes
+        # need density at the event point, control-collision lanes (known
+        # from the drawn distance alone, before any fetch) need only the
+        # baked optical depth at the collision point, and a real-scatter
+        # lane reads both at the *same* point.  So fetching the packed row
+        # at the per-lane collision/event position replaces the march's two
+        # pool-wide gathers (density + opacity, kernel.cu:2086 + 2181-2196)
+        # with one, bit-identically for density and to 24-bit precision
+        # for od.
         sh_dir = st.shadow_dir if use_mis else \
             jnp.broadcast_to(scene.sun_dir, st.d.shape)
         march_dir = _w(st.shadow, sh_dir, st.d)
         pos_event = st.o + march_dir * dist[:, None]
-        den = _sample_density(scene, pos_event, linear) * st.density_prime
+        # collision position: control break at distc, else the event point
+        # (kernel.cu:2086-2094)
+        pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
+        use_packed = (scene.packed is not None and not linear
+                      and not op_linear)
+        if use_packed:
+            row = gridmod.fetch_rows_raw(scene.packed, pos)
+            den = row[..., 0] * jnp.float32(1.0 / 255.0) * st.density_prime
+            od_packed = (row[..., 1] * 65536.0 + row[..., 2] * 256.0
+                         + row[..., 3]) * scene.od_scale
+        else:
+            den = _sample_density(scene, pos_event, linear) \
+                * st.density_prime
+            od_packed = None
 
         # which lanes consume the second draw: a path event test, plus the
         # shadow kill draw under BINARY (shadow weights are deterministic
@@ -797,10 +823,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                              NEW_SEGMENT, st.status),
             num_scatters=st.num_scatters + collided.astype(jnp.int32))
 
-        # collision position: control break at distc, else the event point
-        # (kernel.cu:2086-2094)
-        pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
-        st, scatter_now = nee_prep(scene, st, collided, pos)
+        st, scatter_now = nee_prep(scene, st, collided, pos, od_packed)
         return st.replace(status=jnp.where(scatter_now | sh_complete,
                                            SCATTER, st.status))
 
@@ -855,13 +878,21 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         # Housekeeping (scatter/fold/rearm) runs every spawn_every steps;
         # the film scatter-add + queue spawn only on every flush_every-th
         # housekeeping (and always at the launch boundary, so the host
-        # sees an up-to-date film between launches).
+        # sees an up-to-date film between launches).  A lighter
+        # fold/re-arm-only pass optionally runs every rearm_every steps in
+        # between (settings.rearm_every < spawn_every), so a finished
+        # sample re-arms the lane's next sample sooner at the price of a
+        # pool-wide envmap gather per pass — per-lane draw sequences are
+        # (pixel, sample)-keyed, so the cadence cannot change any result.
+        rearm = min(settings.rearm_every, settings.spawn_every)
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
                 hk = i // settings.spawn_every
                 st, film = housekeeping(
                     scene, cam, st, film,
                     flush=(hk % settings.flush_every == 0))
+            elif i % rearm == 0:
+                st = _pack(fold_and_rearm(scene, cam, st))
             st = step_inner(scene, st)
         st, film = housekeeping(scene, cam, st, film, flush=True)
         return _unpack(st), film

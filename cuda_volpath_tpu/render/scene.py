@@ -84,6 +84,17 @@ class Scene:
     sun_power: jnp.ndarray         # (3,) directional (disk-converted)
     sun_power_original: jnp.ndarray  # (3,) disk radiance for primary hits
     mat: Materials
+    # Optional fused fetch table (see ``pack_density_opacity``): uint8
+    # (Nz,Ny,Nx,4) rows [density_u8, od_hi, od_mid, od_lo] so the march
+    # loop's density fetch and the NEE opacity-shortcut fetch
+    # (kernel.cu:2181-2196) ride ONE row gather instead of two — gathers
+    # are the dominant per-step cost on TPU (BENCH.md).  ``od_scale``
+    # dequantizes the 24-bit fixed-point optical depth (max abs error
+    # od_max/2²⁴ ≈ 1e-7·od_max — far below the opacity bake's own dt
+    # discretization).  ``None`` → the integrator falls back to separate
+    # density + opacity fetches.
+    packed: Optional[gridmod.Grid3D] = None
+    od_scale: Optional[jnp.ndarray] = None
     # Static: world-space segment radii per bound scale (k=0 is the
     # reference's search_radius; larger scales enable long homogeneous /
     # vacuum segments).  Baked into the pyramid; part of the treedef.
@@ -160,7 +171,7 @@ def make_scene(volume: np.ndarray,
     if envmap is None:
         envmap = envmod.constant((0.0, 0.0, 0.0))
     spo = sun_power if sun_power_original is None else sun_power_original
-    return Scene(density=density, bound=bound_g, opacity=opacity_g,
+    scene = Scene(density=density, bound=bound_g, opacity=opacity_g,
                  envmap=envmap,
                  sun_dir=jnp.asarray(sun_dir, jnp.float32),
                  sun_power=jnp.asarray(sun_power, jnp.float32),
@@ -168,3 +179,43 @@ def make_scene(volume: np.ndarray,
                  mat=mat,
                  bound_radii=tuple(float(search_radius * m)
                                    for m in bound_scales))
+    return pack_density_opacity(scene)
+
+
+def pack_density_opacity(scene: Scene) -> Scene:
+    """Fuse the uint8 density grid and the f32 sun-opacity cache into one
+    (Nz,Ny,Nx,4) uint8 row table [density, od_hi, od_mid, od_lo].
+
+    The march loop needs the density at the free-flight event point and —
+    only on a collision — the baked optical depth at the collision point
+    for the deep-scatter NEE shortcut (kernel.cu:2181-2196).  Both
+    positions are known *before* the fetch (a control-collision breaks on
+    the drawn distance alone), and every lane consumes at most one of the
+    two values, so a single gather of this packed row replaces two
+    separate pool-wide gathers per march — the single most expensive ops
+    in the step (see BENCH.md "where the time goes").
+
+    The optical depth is stored as 24-bit fixed point over [0, od_max]:
+    absolute error ≤ od_max/2²⁴, i.e. ~1e-7 relative in the shortcut's
+    ``exp(-σt·ρ'·od)`` exponent — negligible against the bake's own dt
+    discretization.  Requires a quantized (uint8) density grid and an
+    opacity grid of the same shape; otherwise returns the scene unchanged
+    (the integrator then uses the separate-fetch path).
+    """
+    den = np.asarray(scene.density.data)
+    od = np.asarray(scene.opacity.data, np.float32)
+    if den.dtype != np.uint8 or den.ndim != 3 or od.shape != den.shape:
+        return scene.replace(packed=None, od_scale=None)
+    od_max = max(float(od.max()), 1e-30)
+    q = np.minimum(np.round(od / od_max * ((1 << 24) - 1)),
+                   (1 << 24) - 1).astype(np.uint32)
+    packed = np.stack([den,
+                       (q >> 16).astype(np.uint8),
+                       ((q >> 8) & 0xFF).astype(np.uint8),
+                       (q & 0xFF).astype(np.uint8)], axis=-1)
+    packed_g = gridmod.Grid3D(data=jnp.asarray(packed),
+                              box_min=scene.density.box_min,
+                              box_max=scene.density.box_max)
+    return scene.replace(
+        packed=packed_g,
+        od_scale=jnp.float32(od_max / ((1 << 24) - 1)))

@@ -87,8 +87,9 @@ def flagship(n: int = 256, param: Param | None = None,
                                             dt=opacity_dt))
             _CACHE.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(f, od=od)
-        scene = scene.replace(opacity=scene.opacity.replace(
-            data=jnp.asarray(od)))
+        from .render.scene import pack_density_opacity
+        scene = pack_density_opacity(scene.replace(
+            opacity=scene.opacity.replace(data=jnp.asarray(od))))
     cam = cammod.make_camera()
     return scene, cam, param
 
@@ -173,8 +174,9 @@ def cloud(n: int = 256, param: Param | None = None,
             od = np.asarray(opacitymod.bake(scene.density, sun_dir,
                                             dt=opacity_dt))
             np.savez_compressed(f, od=od)
-        scene = scene.replace(opacity=scene.opacity.replace(
-            data=jnp.asarray(od)))
+        from .render.scene import pack_density_opacity
+        scene = pack_density_opacity(scene.replace(
+            opacity=scene.opacity.replace(data=jnp.asarray(od))))
     return scene, cammod.make_camera(), param
 
 

@@ -173,6 +173,66 @@ def test_multi_sample_items_equivalent():
                                   np.asarray(filmmod.heat(f1)))
 
 
+def test_rearm_cadence_equivalent():
+    """The light fold/re-arm pass (config.rearm_every < spawn_every) only
+    changes *when* a finished sample re-arms, never any (pixel,
+    sample)-keyed draw — films must match bit-for-bit up to scatter-add
+    ordering, heat exactly."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=20.0, albedo=(0.9, 0.8, 0.7),
+                                     g=0.3))
+    scene = make_scene(vol, mat, sun_dir=(0.3, 0.9, 0.3),
+                       sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    base = dict(precompute_opacity=False, steps_per_launch=8,
+                spawn_every=4, samples_per_item=4, flush_every=2)
+    f1 = _render(scene, RenderSettings(**base), w=8, h=8, spp=8, pool=256)
+    f2 = _render(scene, RenderSettings(rearm_every=1, **base),
+                 w=8, h=8, spp=8, pool=256)
+    assert (np.asarray(filmmod.spp(f2)) == 8).all()
+    np.testing.assert_array_equal(np.asarray(filmmod.heat(f2)),
+                                  np.asarray(filmmod.heat(f1)))
+    np.testing.assert_allclose(np.asarray(filmmod.image(f2)),
+                               np.asarray(filmmod.image(f1)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packed_opacity_fetch_equivalent():
+    """The fused [density, od₂₄] row table (scene.packed) must reproduce
+    the separate-fetch path: identical draws (heat/count bit-equal) and
+    radiance equal up to the 24-bit optical-depth quantization — exercised
+    through the deep-scatter NEE shortcut (sample>10 & scatters>20,
+    kernel.cu:2181-2196), which needs a dense, high-albedo medium and
+    spp > 10."""
+    from cuda_volpath_tpu.volume import opacity as opacitymod
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=300.0, albedo=(1.0, 1.0, 1.0),
+                                     g=0.3, sigma_t=(1.0, 0.8, 0.6)))
+    sun_dir = (0.3, 0.9, 0.3)
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=sun_dir, sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    od = np.asarray(opacitymod.bake(scene.density, sun_dir, dt=0.01))
+    from cuda_volpath_tpu.render.scene import pack_density_opacity
+    scene = pack_density_opacity(scene.replace(
+        opacity=scene.opacity.replace(data=jnp.asarray(od))))
+    assert scene.packed is not None
+    settings = RenderSettings(steps_per_launch=4, max_depth=64)
+    f_packed = _render(scene, settings, w=8, h=8, spp=16, pool=256)
+    bare = scene.replace(packed=None, od_scale=None)
+    f_bare = _render(bare, settings, w=8, h=8, spp=16, pool=256)
+    # draws are unaffected by the od value — scatter counts bit-equal
+    np.testing.assert_array_equal(np.asarray(filmmod.heat(f_packed)),
+                                  np.asarray(filmmod.heat(f_bare)))
+    np.testing.assert_array_equal(np.asarray(filmmod.spp(f_packed)),
+                                  np.asarray(filmmod.spp(f_bare)))
+    a = np.asarray(filmmod.image(f_packed))
+    b = np.asarray(filmmod.image(f_bare))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # the shortcut must actually have fired for the test to mean anything
+    assert np.asarray(filmmod.heat(f_packed)).max() > 20
+
+
 def test_state_bf16_close_to_f32():
     """bf16 radiometric-state storage (config.state_bf16) rounds only the
     between-step stores (~0.4% relative per event update) — a short render
