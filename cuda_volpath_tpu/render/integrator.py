@@ -86,7 +86,7 @@ from ..lighting import envmap as envmod
 from ..lighting import sun as sunmod
 from . import camera as cammod
 from . import film as filmmod
-from .scene import Scene
+from .scene import Scene, unpack_od
 
 # Lane phases.  A lane is either setting up a segment (path or shadow,
 # selected by ``shadow``), marching inside one, waiting for the batched
@@ -729,17 +729,26 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         # collision position: control break at distc, else the event point
         # (kernel.cu:2086-2094)
         pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
+        need_od = settings.sun_light and settings.precompute_opacity
         use_packed = (scene.packed is not None and not linear
                       and not op_linear)
         if use_packed:
             row = gridmod.fetch_rows_raw(scene.packed, pos)
             den = row[..., 0] * jnp.float32(1.0 / 255.0) * st.density_prime
-            od_packed = (row[..., 1] * 65536.0 + row[..., 2] * 256.0
-                         + row[..., 3]) * scene.od_scale
+            od_packed = unpack_od(row, scene.od_scale) if need_od else None
         else:
             den = _sample_density(scene, pos_event, linear) \
                 * st.density_prime
-            od_packed = None
+            if need_od and scene.packed is not None:
+                # filter modes force separate fetches, but the optical
+                # depth still lives (only) in the packed table — trilinear
+                # filtering commutes with the linear channel recombination
+                rows = gridmod.sample_world(scene.packed, pos,
+                                            linear=op_linear)
+                od_packed = unpack_od(rows, scene.od_scale,
+                                      dequantized=True)
+            else:
+                od_packed = None
 
         # which lanes consume the second draw: a path event test, plus the
         # shadow kill draw under BINARY (shadow weights are deterministic

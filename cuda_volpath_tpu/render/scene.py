@@ -119,7 +119,10 @@ def make_scene(volume: np.ndarray,
     Mirrors the ingestion path loadVdbFile → init_cuda (volumeRender.cpp:
     968-1019, kernel.cu:354-420): optional normalize-by-max uint8
     quantization, bound-grid build on the (quantized) data, aspect-derived
-    default bounding box.  The bound grid is the TPU-native coarse
+    default bounding box.  ``opacity`` (a baked sun optical-depth volume,
+    density-shaped) is packed into the fused [density, od₂₄] row table —
+    see ``pack_density_opacity``; ``scene.opacity`` itself is a (1,1,1)
+    zero placeholder unless packing is impossible (f32 density).  The bound grid is the TPU-native coarse
     multiscale pyramid (see ops.boundgrid.build_multiscale_bounds) — or,
     with ``reference_bounds=True``, the reference's full-resolution
     (max, min) bound texture (kernel.cu:392-395, built exactly like
@@ -163,9 +166,11 @@ def make_scene(volume: np.ndarray,
         bound_g = gridmod.Grid3D(data=jnp.asarray(bound),
                                  box_min=density.box_min,
                                  box_max=bound_box_max)
-    if opacity is None:
-        opacity = np.zeros_like(volume, np.float32)
-    opacity_g = gridmod.Grid3D(data=jnp.asarray(opacity, jnp.float32),
+    # A (1,1,1) zero placeholder stands in for "no baked opacity" — clamp
+    # sampling makes it od ≡ 0 everywhere, identical to a full-size zero
+    # grid, without shipping 64 MB of zeros to the device (transfers
+    # through the remote-TPU tunnel are the dominant scene-build cost).
+    opacity_g = gridmod.Grid3D(data=jnp.zeros((1, 1, 1), jnp.float32),
                                box_min=density.box_min,
                                box_max=density.box_max)
     if envmap is None:
@@ -179,11 +184,24 @@ def make_scene(volume: np.ndarray,
                  mat=mat,
                  bound_radii=tuple(float(search_radius * m)
                                    for m in bound_scales))
-    return pack_density_opacity(scene)
+    return pack_density_opacity(scene, opacity)
 
 
-def pack_density_opacity(scene: Scene) -> Scene:
-    """Fuse the uint8 density grid and the f32 sun-opacity cache into one
+def unpack_od(packed_rows: jnp.ndarray, od_scale,
+              dequantized: bool = False) -> jnp.ndarray:
+    """Recombine the 24-bit fixed-point optical depth from packed rows
+    (``(..., 4)``, channels [density, od_hi, od_mid, od_lo]).  Linear in
+    the channels, so it commutes with trilinear filtering; pass
+    ``dequantized=True`` for rows that went through the u8→[0,1] fetch
+    dequantization (``sample_*``) rather than a raw fetch."""
+    od = (packed_rows[..., 1] * 65536.0 + packed_rows[..., 2] * 256.0
+          + packed_rows[..., 3]) * od_scale
+    return od * 255.0 if dequantized else od
+
+
+def pack_density_opacity(scene: Scene, od: "np.ndarray | None" = None) \
+        -> Scene:
+    """Fuse the uint8 density grid and the sun-opacity cache into one
     (Nz,Ny,Nx,4) uint8 row table [density, od_hi, od_mid, od_lo].
 
     The march loop needs the density at the free-flight event point and —
@@ -195,27 +213,47 @@ def pack_density_opacity(scene: Scene) -> Scene:
     separate pool-wide gathers per march — the single most expensive ops
     in the step (see BENCH.md "where the time goes").
 
-    The optical depth is stored as 24-bit fixed point over [0, od_max]:
-    absolute error ≤ od_max/2²⁴, i.e. ~1e-7 relative in the shortcut's
+    The optical depth is 24-bit fixed point over [0, od_max]: absolute
+    error ≤ od_max/2²⁴, i.e. ~1e-7 relative in the shortcut's
     ``exp(-σt·ρ'·od)`` exponent — negligible against the bake's own dt
-    discretization.  Requires a quantized (uint8) density grid and an
-    opacity grid of the same shape; otherwise returns the scene unchanged
-    (the integrator then uses the separate-fetch path).
+    discretization.  The table is assembled on the device from the
+    already-resident density plane plus (when ``od`` is given) three
+    quantized uint8 planes, so packing ships at most 3 bytes/voxel through
+    the host↔device link — remote-TPU transfers dominate scene build.
+    ``scene.opacity`` stays the (1,1,1) placeholder: every consumer
+    (integrator fallback paths, the reference oracle) reconstructs od from
+    the packed table via ``unpack_od``.
+
+    Requires a quantized (uint8) density grid (and, if given, an ``od`` of
+    the same shape); otherwise the scene keeps the separate-fetch layout —
+    a real ``od`` is then stored full-resolution f32 in ``scene.opacity``.
     """
-    den = np.asarray(scene.density.data)
-    od = np.asarray(scene.opacity.data, np.float32)
-    if den.dtype != np.uint8 or den.ndim != 3 or od.shape != den.shape:
-        return scene.replace(packed=None, od_scale=None)
-    od_max = max(float(od.max()), 1e-30)
-    q = np.minimum(np.round(od / od_max * ((1 << 24) - 1)),
-                   (1 << 24) - 1).astype(np.uint32)
-    packed = np.stack([den,
-                       (q >> 16).astype(np.uint8),
-                       ((q >> 8) & 0xFF).astype(np.uint8),
-                       (q & 0xFF).astype(np.uint8)], axis=-1)
-    packed_g = gridmod.Grid3D(data=jnp.asarray(packed),
+    den = scene.density.data
+    full_od = od is not None and float(np.max(od)) > 0.0
+    if den.dtype != jnp.uint8 or den.ndim != 3 \
+            or (full_od and od.shape != den.shape[:3]):
+        sc = scene.replace(packed=None, od_scale=None)
+        if full_od:
+            sc = sc.replace(opacity=gridmod.Grid3D(
+                data=jnp.asarray(od, jnp.float32),
+                box_min=scene.density.box_min,
+                box_max=scene.density.box_max))
+        return sc
+    if full_od:
+        od = np.asarray(od, np.float32)
+        od_max = max(float(od.max()), 1e-30)
+        q = np.minimum(np.round(od / od_max * ((1 << 24) - 1)),
+                       float((1 << 24) - 1)).astype(np.uint32)
+        planes = [jnp.asarray((q >> 16).astype(np.uint8)),
+                  jnp.asarray(((q >> 8) & 0xFF).astype(np.uint8)),
+                  jnp.asarray((q & 0xFF).astype(np.uint8))]
+        od_scale = jnp.float32(od_max / ((1 << 24) - 1))
+    else:
+        z = jnp.zeros_like(den)
+        planes = [z, z, z]
+        od_scale = jnp.float32(0.0)
+    packed = jnp.stack([den] + planes, axis=-1)
+    packed_g = gridmod.Grid3D(data=packed,
                               box_min=scene.density.box_min,
                               box_max=scene.density.box_max)
-    return scene.replace(
-        packed=packed_g,
-        od_scale=jnp.float32(od_max / ((1 << 24) - 1)))
+    return scene.replace(packed=packed_g, od_scale=od_scale)

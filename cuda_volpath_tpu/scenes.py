@@ -88,8 +88,7 @@ def flagship(n: int = 256, param: Param | None = None,
             _CACHE.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(f, od=od)
         from .render.scene import pack_density_opacity
-        scene = pack_density_opacity(scene.replace(
-            opacity=scene.opacity.replace(data=jnp.asarray(od))))
+        scene = pack_density_opacity(scene, od)
     cam = cammod.make_camera()
     return scene, cam, param
 
@@ -175,8 +174,7 @@ def cloud(n: int = 256, param: Param | None = None,
                                             dt=opacity_dt))
             np.savez_compressed(f, od=od)
         from .render.scene import pack_density_opacity
-        scene = pack_density_opacity(scene.replace(
-            opacity=scene.opacity.replace(data=jnp.asarray(od))))
+        scene = pack_density_opacity(scene, od)
     return scene, cammod.make_camera(), param
 
 

@@ -105,7 +105,15 @@ class OracleScene:
         self.sun_power = np.asarray(scene.sun_power, np.float32)
         self.sun_power_orig = np.asarray(scene.sun_power_original, np.float32)
         self.opacity = None
-        if float(np.abs(np.asarray(scene.opacity.data)).max()) > 0:
+        if scene.packed is not None and scene.od_scale is not None \
+                and float(scene.od_scale) > 0.0:
+            # od lives (only) in the packed [density, od24] table now —
+            # reconstruct the same 24-bit values the wavefront fetches
+            pk = np.asarray(scene.packed.data).astype(np.float32)
+            self.opacity = ((pk[..., 1] * 65536.0 + pk[..., 2] * 256.0
+                             + pk[..., 3])
+                            * np.float32(scene.od_scale)).astype(np.float32)
+        elif float(np.abs(np.asarray(scene.opacity.data)).max()) > 0:
             self.opacity = np.asarray(scene.opacity.data, np.float32)
 
         self.density = F(scene.mat.density)

@@ -214,12 +214,17 @@ def test_packed_opacity_fetch_equivalent():
                        sun_power_original=(50.0, 50.0, 50.0))
     od = np.asarray(opacitymod.bake(scene.density, sun_dir, dt=0.01))
     from cuda_volpath_tpu.render.scene import pack_density_opacity
-    scene = pack_density_opacity(scene.replace(
-        opacity=scene.opacity.replace(data=jnp.asarray(od))))
-    assert scene.packed is not None
+    from cuda_volpath_tpu.ops import grid as gridmod
+    scene = pack_density_opacity(scene, od)
+    assert scene.packed is not None and float(scene.od_scale) > 0
     settings = RenderSettings(steps_per_launch=4, max_depth=64)
     f_packed = _render(scene, settings, w=8, h=8, spp=16, pool=256)
-    bare = scene.replace(packed=None, od_scale=None)
+    # separate-fetch baseline: no packed table, full-res f32 opacity grid
+    bare = scene.replace(packed=None, od_scale=None,
+                         opacity=gridmod.Grid3D(
+                             data=jnp.asarray(od),
+                             box_min=scene.density.box_min,
+                             box_max=scene.density.box_max))
     f_bare = _render(bare, settings, w=8, h=8, spp=16, pool=256)
     # draws are unaffected by the od value — scatter counts bit-equal
     np.testing.assert_array_equal(np.asarray(filmmod.heat(f_packed)),
