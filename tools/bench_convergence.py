@@ -27,6 +27,12 @@ def main() -> int:
                     choices=["flagship", "cloud"])
     ap.add_argument("--size", default="960x512")
     ap.add_argument("--pool", type=int, default=1 << 20)
+    ap.add_argument("--opacity", type=int, default=0, choices=(0, 1),
+                    help="bake + use the sun-opacity cache (reference "
+                    "parity PRECOMPUTE_OPACITY=1; the packed row table "
+                    "makes its per-march cost zero — deep-scatter "
+                    "stragglers take the NEE shortcut, which mainly "
+                    "shortens the drain tail)")
     args = ap.parse_args()
 
     import os
@@ -44,8 +50,10 @@ def main() -> int:
 
     w, h = (int(v) for v in args.size.split("x"))
     scene, cam, _ = (scenes.flagship if args.scene == "flagship"
-                     else scenes.cloud)(n=256, bake_opacity=False)
-    settings = RenderSettings(steps_per_launch=128, precompute_opacity=False)
+                     else scenes.cloud)(n=256,
+                                        bake_opacity=bool(args.opacity))
+    settings = RenderSettings(steps_per_launch=128,
+                              precompute_opacity=bool(args.opacity))
 
     # warm every graph (main pool + the whole drain ladder) outside the
     # timed region, mirroring the reference which also excludes compilation
@@ -59,8 +67,9 @@ def main() -> int:
                              pool=args.pool)
     dt = time.time() - t0
     spp = float(np.mean(np.asarray(filmmod.spp(film))))
+    tag = "_opacity" if args.opacity else ""
     print(json.dumps({"metric": f"time_to_{args.spp}spp_{w}x{h}_"
-                                f"{args.scene}",
+                                f"{args.scene}{tag}",
                       "seconds": round(dt, 1), "mean_spp": round(spp, 1)}))
     return 0
 
