@@ -92,6 +92,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    "postprocess.firefly_clamp)")
     p.add_argument("--checkpoint", default=None,
                    help="film checkpoint path (.npz); resumes if it exists")
+    p.add_argument("--checkpoint-every", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="periodically snapshot the film to --checkpoint "
+                   "while rendering (atomic tmp+rename), so an interrupt "
+                   "or a backend/tunnel failure loses at most this much "
+                   "work.  Each snapshot pulls the full film to the host "
+                   "(~16 MB at 960x512) — use minutes, not seconds, on "
+                   "remote-TPU tunnels.  0 = final checkpoint only")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render into "
                    "DIR (the TPU-native analog of the reference's "
@@ -212,10 +220,25 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     t0 = time.time()
-    meter = {"t": t0, "count": 0.0}
+    meter = {"t": t0, "count": 0.0, "ck_t": t0}
+
+    def save_checkpoint(state: dict) -> None:
+        """Atomic film snapshot: write-to-tmp + rename, so a crash during
+        the save never corrupts the last good checkpoint."""
+        tmp = args.checkpoint + ".tmp.npz"
+        np.savez_compressed(tmp, **state)
+        os.replace(tmp, args.checkpoint)
 
     def progress(fm):
         now = time.time()
+        if args.checkpoint and args.checkpoint_every \
+                and now - meter["ck_t"] >= args.checkpoint_every:
+            # pull the film to the host and persist it; the host copy also
+            # makes interrupt/failure recovery below device-independent
+            save_checkpoint(filmmod.to_numpy_state(fm))
+            meter["ck_t"] = time.time()
+            print(f"# checkpoint -> {args.checkpoint} "
+                  f"({time.time() - now:.1f}s)", file=sys.stderr)
         if now - meter["t"] < args.report_every:
             return
         done = float(jnp.sum(fm.count[:-1]))
@@ -229,10 +252,31 @@ def main(argv=None) -> int:
     if args.profile:
         import jax
         trace_cm = jax.profiler.trace(args.profile)
-    with trace_cm:
-        film = integrator.render(scene, cam, settings, width, height,
-                                 args.spp, pool=pool, film=film,
-                                 progress_cb=progress)
+    try:
+        with trace_cm:
+            film = integrator.render(scene, cam, settings, width, height,
+                                     args.spp, pool=pool, film=film,
+                                     progress_cb=progress)
+    except KeyboardInterrupt:
+        # the device is still alive: snapshot cannot run here (in-flight
+        # launches own donated buffers), but periodic checkpoints already
+        # persisted the last pulled film
+        print("\n# interrupted", file=sys.stderr)
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            print(f"# last checkpoint kept at {args.checkpoint} — rerun "
+                  "the same command to resume", file=sys.stderr)
+        return 130
+    except Exception as e:  # backend/tunnel failures (device state lost)
+        print(f"\n# render failed: {type(e).__name__}: {str(e)[:300]}",
+              file=sys.stderr)
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            print(f"# last checkpoint kept at {args.checkpoint} — rerun "
+                  "the same command to resume from it", file=sys.stderr)
+        else:
+            print("# no checkpoint was configured; progress is lost "
+                  "(use --checkpoint PATH --checkpoint-every SECONDS)",
+                  file=sys.stderr)
+        return 1
     if args.profile:
         print(f"# profiler trace -> {args.profile}", file=sys.stderr)
     total = time.time() - t0
@@ -241,7 +285,7 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     if args.checkpoint:
-        np.savez_compressed(args.checkpoint, **filmmod.to_numpy_state(film))
+        save_checkpoint(filmmod.to_numpy_state(film))
         print(f"# checkpoint -> {args.checkpoint}", file=sys.stderr)
 
     img = filmmod.image(film)

@@ -34,6 +34,35 @@ def test_cli_blob_render(tmp_path):
     assert float(np.asarray(filmmod.spp(f)).min()) == 4.0
 
 
+def test_cli_periodic_checkpoint_and_failure_recovery(tmp_path, monkeypatch):
+    """--checkpoint-every snapshots the film mid-render (atomic tmp+rename)
+    so a backend failure loses at most one interval; a failing render exits
+    1 with the resume hint instead of a traceback."""
+    out = tmp_path / "out.ppm"
+    ckpt = tmp_path / "film.npz"
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "4",
+        "--density", "20", "--steps-per-launch", "4", "--pool", "64",
+        "--checkpoint-every", "0.0001", "--report-every", "10000",
+        "-o", str(out), "--checkpoint", str(ckpt)])
+    assert rc == 0 and ckpt.exists()
+    assert not (tmp_path / "film.npz.tmp.npz").exists()  # rename completed
+
+    # simulate a mid-render backend failure: resume from the checkpoint,
+    # then die inside the launch loop — the CLI must keep the checkpoint
+    # and return 1, not raise
+    from cuda_volpath_tpu.render import integrator
+
+    def boom(*a, **kw):
+        raise RuntimeError("UNAVAILABLE: tunnel gone")
+    monkeypatch.setattr(integrator, "render", boom)
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "8",
+        "--density", "20", "--steps-per-launch", "4", "--pool", "64",
+        "-o", str(out), "--checkpoint", str(ckpt)])
+    assert rc == 1 and ckpt.exists()
+
+
 def test_argparser_covers_reference_params():
     p = render_cli.build_argparser()
     a = p.parse_args(["--preset", "3", "--tracker", "delta",
