@@ -218,6 +218,13 @@ class RenderSettings:
     # f32; only the store rounds (~0.4% relative per actual event update).
     # Geometry (o, d, dist, …) and RNG state stay full width.
     state_bf16: bool = False
+    # Collect per-micro-step lane-phase occupancy counters inside the
+    # launch (returned as a third output: (steps, 7) i32 rows of
+    # [march_path, march_shadow, new_segment, scatter_wait, fold_wait,
+    # parked, empty] counts).  Costs a few masked pool-wide reductions per
+    # step — for the occupancy analysis tool (tools/analyze_occupancy.py),
+    # not production renders; integrator.render() rejects it.
+    instrument: bool = False
     # Reference march semantics: draw-for-draw parity with the reference's
     # active kernel (__d_render_bounded_decomp + Tr_spectral,
     # src/volumeRender_kernel.cu:1958-2318, 754-808).  Requires a scene

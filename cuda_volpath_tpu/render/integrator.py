@@ -878,6 +878,23 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                 st = _pack(do_scatter(st, st.status == SCATTER))
         return st
 
+    def _phase_counts(st: PathState) -> jnp.ndarray:
+        """One (7,) i32 row of lane-phase occupancy (config.instrument):
+        [march_path, march_shadow, new_segment, scatter_wait, fold_wait,
+        parked, empty].  fold_wait = sample finished, waiting for the
+        fold/re-arm pass; parked = item folded, waiting for the film
+        flush; empty = waiting for queue spawn."""
+        s = lambda m: jnp.sum(m.astype(jnp.int32))
+        done = st.status == DONE
+        return jnp.stack([
+            s((st.status == MARCH) & ~st.shadow),
+            s((st.status == MARCH) & st.shadow),
+            s(st.status == NEW_SEGMENT),
+            s(st.status == SCATTER),
+            s(done & (st.pixel >= 0) & (st.num_scatters >= 0)),
+            s(done & (st.pixel >= 0) & (st.num_scatters < 0)),
+            s(done & (st.pixel < 0))])
+
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def launch(scene: Scene, cam: cammod.Camera, st: PathState,
                film: filmmod.Film):
@@ -894,6 +911,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
         # pool-wide envmap gather per pass — per-lane draw sequences are
         # (pixel, sample)-keyed, so the cadence cannot change any result.
         rearm = min(settings.rearm_every, settings.spawn_every)
+        stats = []
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
                 hk = i // settings.spawn_every
@@ -902,8 +920,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
                     flush=(hk % settings.flush_every == 0))
             elif i % rearm == 0:
                 st = _pack(fold_and_rearm(scene, cam, st))
+            if settings.instrument:
+                stats.append(_phase_counts(st))
             st = step_inner(scene, st)
         st, film = housekeeping(scene, cam, st, film, flush=True)
+        if settings.instrument:
+            return _unpack(st), film, jnp.stack(stats)
         return _unpack(st), film
 
     return step, launch
@@ -977,6 +999,10 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     every launch.
     """
     npix = width * height
+    if settings.instrument:
+        raise ValueError("config.instrument is for the occupancy analysis "
+                         "tool (launch returns a third output); disable it "
+                         "for render()")
     if pool is None:
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, width, height)

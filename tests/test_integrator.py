@@ -173,6 +173,40 @@ def test_multi_sample_items_equivalent():
                                   np.asarray(filmmod.heat(f1)))
 
 
+def test_instrumented_launch_counts():
+    """config.instrument adds a (steps, 7) occupancy output whose rows
+    partition the pool, without changing the render."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=20.0, g=0.3))
+    scene = make_scene(vol, mat, sun_dir=(0.3, 0.9, 0.3),
+                       sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    pool, w, h = 128, 8, 8
+    base = dict(precompute_opacity=False, steps_per_launch=8)
+    import jax.numpy as jnp
+    from cuda_volpath_tpu.render.integrator import init_state, make_step_fn
+
+    cam = cammod.make_camera()
+
+    def run(settings):
+        _, launch = make_step_fn(settings, w, h)
+        st = init_state(pool)
+        st = st.replace(total_items=jnp.full((1,), w * h, jnp.int32))
+        film = filmmod.make_film(w, h)
+        return launch(scene, cam, st, film)
+
+    st, film, stats = run(RenderSettings(instrument=True, **base))
+    assert stats.shape == (8, 7)
+    assert (np.asarray(stats).sum(axis=1) == pool).all()
+    st2, film2 = run(RenderSettings(**base))
+    np.testing.assert_array_equal(np.asarray(film.sum),
+                                  np.asarray(film2.sum))
+    with pytest.raises(ValueError):
+        integrator.render(scene, cammod.make_camera(),
+                          RenderSettings(instrument=True, **base),
+                          w, h, 1, pool=pool)
+
+
 def test_rearm_cadence_equivalent():
     """The light fold/re-arm pass (config.rearm_every < spawn_every) only
     changes *when* a finished sample re-arms, never any (pixel,
