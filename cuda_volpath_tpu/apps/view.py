@@ -64,7 +64,6 @@ def main(argv=None) -> int:
     ap.add_argument("--density", type=float, default=None)
     args = ap.parse_args(argv)
 
-    import os
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         # honor the env var even when a backend plugin's hook probes its

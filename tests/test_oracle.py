@@ -53,8 +53,13 @@ def _render_sample(scene, cam, launch, s):
 
 def _compare(tracker: Tracker):
     scene, cam = _make_parity_scene()
+    # samples_per_item=1: _render_sample's work-queue window arithmetic
+    # (item == sample*npix + pixel) addresses individual samples — with
+    # multi-sample items an item is K samples and the window would render
+    # samples [K*s, K*(s+1)) instead of sample s
     settings = RenderSettings(tracker=tracker, reference_march=True,
                               precompute_opacity=False,
+                              samples_per_item=1,
                               steps_per_launch=8)
     _, launch = integrator.make_step_fn(settings, W, H)
 
