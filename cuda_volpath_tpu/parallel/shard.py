@@ -60,17 +60,23 @@ def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int,
 def make_sharded_launch(settings: RenderSettings, cam: cammod.Camera,
                         width: int, height: int, mesh: Mesh):
     """Build the sharded launch: (scene, state, film_data) →
-    (state, film_data), all device-local work."""
-    step, _ = integrator.make_step_fn(settings, width, height)
+    (state, film_data), all device-local work.
+
+    Each device runs the *same* launch body as a single-chip launch — the
+    full housekeeping / film-flush / re-arm cadence (swept on-chip, see
+    BENCH.md) — not a per-micro-step housekeeping loop, so per-device
+    throughput matches the single-chip step cost."""
+    if settings.instrument:
+        raise ValueError("config.instrument is single-device only (the "
+                         "launch's stats output does not shard)")
+    _, _, body = integrator.make_step_fn(settings, width, height,
+                                         with_body=True)
     axis = mesh.axis_names[0]
 
     def local_launch(scene: Scene, cam: cammod.Camera,
                      st: integrator.PathState, fdata: jnp.ndarray):
         film = filmmod.Film(data=fdata[0], width=width, height=height)
-
-        # unrolled for the same gather-in-loop reason as integrator.launch
-        for _ in range(settings.steps_per_launch):
-            st, film = step(scene, cam, st, film)
+        st, film = body(scene, cam, st, film)
         return st, film.data[None]
 
     state_spec = jax.tree.map(lambda _: P(axis), integrator.init_state(1))

@@ -208,7 +208,8 @@ def _sample_density(scene: Scene, pos, linear: bool):
     return gridmod.sample_world(scene.density, pos, linear=linear)
 
 
-def make_step_fn(settings: RenderSettings, width: int, height: int):
+def make_step_fn(settings: RenderSettings, width: int, height: int,
+                 with_body: bool = False):
     """Build the jitted micro-step/launch for static (settings, resolution).
 
     The camera is a traced argument of the returned functions — moving it
@@ -217,6 +218,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
 
     The step advances every lane one event:
       [housekeeping] → segment setup (path | shadow) → unified march.
+
+    With ``with_body=True`` also returns the un-jitted launch body (the
+    full housekeeping/flush/rearm cadence loop) for embedding in larger
+    jitted programs — the multi-chip path wraps it in ``shard_map``
+    (parallel/shard.py) so every device runs the same swept cadence as a
+    single-chip launch.
     """
     linear = settings.filter_mode == FilterMode.LINEAR
     op_linear = settings.opacity_filter == FilterMode.LINEAR
@@ -895,9 +902,8 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             s(done & (st.pixel >= 0) & (st.num_scatters < 0)),
             s(done & (st.pixel < 0))])
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def launch(scene: Scene, cam: cammod.Camera, st: PathState,
-               film: filmmod.Film):
+    def launch_body(scene: Scene, cam: cammod.Camera, st: PathState,
+                    film: filmmod.Film):
         scene = mono_scene(scene)
         st = _pack(st)
         # Python-unrolled (not fori_loop) — see module docstring.
@@ -928,6 +934,9 @@ def make_step_fn(settings: RenderSettings, width: int, height: int):
             return _unpack(st), film, jnp.stack(stats)
         return _unpack(st), film
 
+    launch = functools.partial(jax.jit, donate_argnums=(2, 3))(launch_body)
+    if with_body:
+        return step, launch, launch_body
     return step, launch
 
 
