@@ -73,6 +73,11 @@ def main():
     n_dev = int(os.environ.get("BENCH_MESH", str(len(jax.devices()))))
     if n_dev > 1:
         from cuda_volpath_tpu.parallel import shard
+        if "BENCH_STEPS" not in os.environ:
+            # XLA's compile of shard_map x long unrolls is strongly
+            # superlinear in steps (see BENCH.md) — default multi-chip
+            # launches shorter; the extra host pulls cost a few % at most
+            settings = settings.replace(steps_per_launch=32)
         mesh = shard.make_mesh(n_dev)
         launch = shard.make_sharded_launch(settings, cam, width, height,
                                            mesh)
