@@ -40,6 +40,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--size", default="960x512",
                    help="WxH (reference default 960x512)")
     p.add_argument("--spp", type=int, default=32)
+    p.add_argument("--sample-offset", type=int, default=0,
+                   help="render the absolute per-pixel sample range "
+                   "[offset, offset+spp): disjoint ranges on independent "
+                   "hosts reproduce exactly the samples one render would "
+                   "(RNG is (pixel, sample)-keyed) and their checkpoints "
+                   "merge losslessly with tools/merge_films.py — "
+                   "zero-communication multi-host scale-out.  Must be a "
+                   "multiple of the work-item size (8 by default)")
     p.add_argument("--tracker", default="decomp",
                    choices=["delta", "bounded", "decomp"])
     p.add_argument("--filter", default="nearest",
@@ -256,7 +264,8 @@ def main(argv=None) -> int:
         with trace_cm:
             film = integrator.render(scene, cam, settings, width, height,
                                      args.spp, pool=pool, film=film,
-                                     progress_cb=progress)
+                                     progress_cb=progress,
+                                     sample_offset=args.sample_offset)
     except KeyboardInterrupt:
         # the device is still alive: snapshot cannot run here (in-flight
         # launches own donated buffers), but periodic checkpoints already

@@ -103,6 +103,20 @@ def variance(film: Film) -> jnp.ndarray:
     return v.reshape(film.height, film.width, 3)
 
 
+def merge(films: list) -> Film:
+    """Sum accumulation states.  Films rendered with *disjoint* sample
+    ranges (``integrator.render(..., sample_offset=...)``) merge exactly:
+    RNG streams are (pixel, sample)-keyed, so independent hosts/processes
+    produce the same sample set a single render would — multi-host
+    scale-out with zero communication (tools/merge_films.py)."""
+    out = films[0]
+    for f in films[1:]:
+        if (f.width, f.height) != (out.width, out.height):
+            raise ValueError("cannot merge films of different sizes")
+        out = out.replace(data=out.data + f.data)
+    return out
+
+
 def to_numpy_state(film: Film) -> dict:
     """Serializable checkpoint (resume support)."""
     return {"sum": np.asarray(film.sum), "count": np.asarray(film.count),

@@ -997,7 +997,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            pool: int | None = None,
            film: filmmod.Film | None = None,
            progress_cb=None,
-           tail_pool: int = 1 << 14) -> filmmod.Film:
+           tail_pool: int = 1 << 14,
+           sample_offset: int = 0) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
@@ -1006,6 +1007,14 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     800 scatters, kernel.cu:34) are compacted into a small pool so the tail
     doesn't pay full-pool launches.  ``progress_cb(film)`` is invoked after
     every launch.
+
+    ``sample_offset`` renders the absolute sample range
+    [offset, offset + spp) of every pixel: RNG streams are keyed by
+    (pixel, absolute sample), so independent hosts rendering disjoint
+    ranges produce exactly the sample set one render would —
+    ``film.merge`` combines them (zero-communication multi-host
+    scale-out).  Must be a multiple of ``samples_per_item`` (work items
+    are K-sample-aligned blocks).
     """
     npix = width * height
     if settings.instrument:
@@ -1017,12 +1026,19 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     _, launch = make_step_fn(settings, width, height)
     st = init_state(pool)
     k = settings.samples_per_item
-    total = npix * (-(-spp // k))   # items = ceil(spp / k) per pixel
+    if sample_offset % k:
+        raise ValueError(f"sample_offset {sample_offset} must be a "
+                         f"multiple of samples_per_item {k}")
+    base = npix * (sample_offset // k)
+    # items = ceil((offset+spp) / k) per pixel, starting at the offset block
+    total = npix * (-(-(sample_offset + spp) // k))
     if total > 2**31 - 1:
         raise ValueError(f"work queue {total} items overflows int32; "
                          "render in chunks of fewer spp")
-    st = st.replace(total_items=jnp.full((1,), total, jnp.int32),
-                    spp_limit=jnp.full((1,), spp, jnp.int32))
+    st = st.replace(next_item=jnp.full((1,), base, jnp.int32),
+                    total_items=jnp.full((1,), total, jnp.int32),
+                    spp_limit=jnp.full((1,), sample_offset + spp,
+                                       jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
 

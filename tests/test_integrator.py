@@ -173,6 +173,38 @@ def test_multi_sample_items_equivalent():
                                   np.asarray(filmmod.heat(f1)))
 
 
+def test_sample_offset_partition_merges_exactly():
+    """Disjoint absolute sample ranges (integrator.render's sample_offset)
+    drawn by independent renders are the same sample set one render draws —
+    the zero-communication multi-host workflow.  Merged film == single
+    film up to accumulation order; heat sums exactly."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=20.0, albedo=(0.9, 0.8, 0.7),
+                                     g=0.3))
+    scene = make_scene(vol, mat, sun_dir=(0.3, 0.9, 0.3),
+                       sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    s = RenderSettings(precompute_opacity=False, steps_per_launch=4,
+                       samples_per_item=4)
+    w = h = 8
+    f_all = _render(scene, s, w=w, h=h, spp=8, pool=256)
+    fa = integrator.render(scene, cammod.make_camera(), s, w, h, 4,
+                           pool=256, sample_offset=0)
+    fb = integrator.render(scene, cammod.make_camera(), s, w, h, 4,
+                           pool=256, sample_offset=4)
+    merged = filmmod.merge([fa, fb])
+    assert (np.asarray(filmmod.spp(merged)) == 8).all()
+    np.testing.assert_array_equal(np.asarray(filmmod.heat(merged)),
+                                  np.asarray(filmmod.heat(f_all)))
+    np.testing.assert_allclose(np.asarray(filmmod.image(merged)),
+                               np.asarray(filmmod.image(f_all)),
+                               rtol=1e-5, atol=1e-6)
+    # misaligned offsets are rejected (items are K-sample blocks)
+    with pytest.raises(ValueError):
+        integrator.render(scene, cammod.make_camera(), s, w, h, 4,
+                          pool=256, sample_offset=2)
+
+
 def test_instrumented_launch_counts():
     """config.instrument adds a (steps, 7) occupancy output whose rows
     partition the pool, without changing the render."""
