@@ -63,6 +63,38 @@ def test_cli_periodic_checkpoint_and_failure_recovery(tmp_path, monkeypatch):
     assert rc == 1 and ckpt.exists()
 
 
+def test_merge_films_tool(tmp_path):
+    """tools/merge_films.py sums checkpoints from disjoint sample ranges
+    into one resumable film and can export the image."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    import merge_films
+
+    args = ["--scene", "blob", "--size", "8x8", "--spp", "8",
+            "--density", "20", "--steps-per-launch", "4", "--pool", "64"]
+    a, b = tmp_path / "a.npz", tmp_path / "b.npz"
+    assert render_cli.main(args + ["--sample-offset", "0",
+                                   "-o", str(tmp_path / "a.ppm"),
+                                   "--checkpoint", str(a)]) == 0
+    assert render_cli.main(args + ["--sample-offset", "8",
+                                   "-o", str(tmp_path / "b.ppm"),
+                                   "--checkpoint", str(b)]) == 0
+    out = tmp_path / "m.npz"
+    img = tmp_path / "m.ppm"
+    old_argv = sys.argv
+    try:
+        sys.argv = ["merge_films.py", str(a), str(b),
+                    "-o", str(out), "--ppm", str(img)]
+        assert merge_films.main() == 0
+    finally:
+        sys.argv = old_argv
+    from cuda_volpath_tpu.render import film as filmmod
+    m = filmmod.from_numpy_state({k: v for k, v in np.load(out).items()})
+    assert (np.asarray(filmmod.spp(m)) == 16).all()
+    assert ppm.read_ppm(str(img)).shape == (8, 8, 3)
+
+
 def test_argparser_covers_reference_params():
     p = render_cli.build_argparser()
     a = p.parse_args(["--preset", "3", "--tracker", "delta",
