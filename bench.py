@@ -58,7 +58,21 @@ def main():
     scene_fn = scenes.cloud if scene_name == "cloud" else scenes.flagship
     scene, cam, param = scene_fn(n=256, bake_opacity=opacity_on)
     if os.environ.get("BENCH_NO_PACK", "0") == "1":
-        # ablation: separate density + opacity gathers (the pre-pack path)
+        # ablation: separate density + opacity gathers (the pre-pack path).
+        # With opacity on, the pre-pack path gathered a full-resolution f32
+        # grid — reconstruct it from the packed table so the ablation
+        # measures (and computes) what round 1 actually did, not a 1-voxel
+        # placeholder fetch.
+        import numpy as np
+        if opacity_on and scene.packed is not None:
+            from cuda_volpath_tpu.ops import grid as gridmod
+            pk = np.asarray(scene.packed.data).astype(np.float32)
+            od = (pk[..., 1] * 65536.0 + pk[..., 2] * 256.0
+                  + pk[..., 3]) * float(scene.od_scale)
+            scene = scene.replace(opacity=gridmod.Grid3D(
+                data=jnp.asarray(od, jnp.float32),
+                box_min=scene.density.box_min,
+                box_max=scene.density.box_max))
         scene = scene.replace(packed=None, od_scale=None)
     metric_scene = "cloud_decomp" if scene_name == "cloud" else "julia_decomp"
     settings = RenderSettings(steps_per_launch=steps,

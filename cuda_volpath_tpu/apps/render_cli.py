@@ -220,11 +220,24 @@ def main(argv=None) -> int:
     pool = args.pool or min(npix, 1 << 19)
 
     film = None
+    sample_offset = args.sample_offset
     if args.checkpoint and os.path.exists(args.checkpoint):
         film = filmmod.from_numpy_state(
             {k: v for k, v in np.load(args.checkpoint).items()})
+        # Resume must not re-draw sample indices the film already holds —
+        # RNG streams are (pixel, sample)-keyed, so re-rendering the same
+        # range adds exact duplicates (inflated spp, zero extra quality).
+        # Continue after the highest accumulated index, rounded up to the
+        # work-item size (the few sub-item indices other pixels are
+        # missing are skipped — unbiased, each pixel's mean uses its own
+        # count).
+        k = settings.samples_per_item
+        resume_off = int(-(-int(np.max(np.asarray(filmmod.spp(film))))
+                           // k)) * k
+        sample_offset = max(sample_offset, resume_off)
         print(f"# resumed from {args.checkpoint} "
-              f"(mean spp {float(np.mean(np.asarray(filmmod.spp(film)))):.1f})",
+              f"(mean spp {float(np.mean(np.asarray(filmmod.spp(film)))):.1f}"
+              f"; continuing at sample {sample_offset})",
               file=sys.stderr)
 
     t0 = time.time()
@@ -265,7 +278,7 @@ def main(argv=None) -> int:
             film = integrator.render(scene, cam, settings, width, height,
                                      args.spp, pool=pool, film=film,
                                      progress_cb=progress,
-                                     sample_offset=args.sample_offset)
+                                     sample_offset=sample_offset)
     except KeyboardInterrupt:
         # the device is still alive: snapshot cannot run here (in-flight
         # launches own donated buffers), but periodic checkpoints already

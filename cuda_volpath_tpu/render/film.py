@@ -62,16 +62,6 @@ def add_rows(film: Film, pixel_idx: jnp.ndarray, rows: jnp.ndarray,
     return film.replace(data=film.data.at[idx].add(rows))
 
 
-def add_samples(film: Film, pixel_idx: jnp.ndarray, value: jnp.ndarray,
-                mask: jnp.ndarray) -> Film:
-    """Scatter-add retired samples. ``value`` is (N, 4) rgb+heat; masked
-    lanes go to the sink row."""
-    rgb = value[..., :3]
-    row = jnp.concatenate(
-        [value, mask.astype(jnp.float32)[:, None], rgb * rgb], axis=-1)
-    return add_rows(film, pixel_idx, row, mask)
-
-
 def image(film: Film) -> jnp.ndarray:
     """Mean radiance (H, W, 3) — ``scaledOutput`` (volumeRender.cpp:381)."""
     c = jnp.maximum(film.count[:-1], 1.0)

@@ -629,9 +629,26 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                      * phase_val[:, None])
 
         if settings.sun_light and settings.precompute_opacity:
-            shortcut = col & (st.sample > 10) & (st.num_scatters > 20)
-            od = od_packed if od_packed is not None else \
-                gridmod.sample_world(scene.opacity, pos, linear=op_linear)
+            # The shortcut additionally requires an actual baked cache:
+            # without one the stored optical depth is 0 and the estimate
+            # would be the full *unshadowed* sun term while the real
+            # shadow march is skipped.  (The reference cannot hit this —
+            # it re-bakes whenever spp>10, volumeRender.cpp:335-344.)
+            # Packed scenes gate on the traced od_scale (0 = no bake);
+            # unpacked scenes gate statically on the placeholder shape,
+            # which also lets XLA drop the opacity gather entirely.
+            if od_packed is not None:
+                has_cache = scene.od_scale > 0.0
+                od = od_packed
+            elif scene.opacity.data.size > 1:
+                has_cache = True
+                od = gridmod.sample_world(scene.opacity, pos,
+                                          linear=op_linear)
+            else:
+                has_cache = False
+                od = jnp.zeros_like(rho2)
+            shortcut = col & (st.sample > 10) & (st.num_scatters > 20) \
+                & has_cache
             a = jnp.exp(-scene.mat.sigma_t[None, :] * (rho2 * od)[:, None])
             radiance = _w(shortcut, st.radiance + nee_coeff * a, st.radiance)
         else:

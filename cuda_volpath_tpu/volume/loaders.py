@@ -55,9 +55,16 @@ def load_vdb(path: str, quantized: bool = True, grid_index: int = 0
              ) -> np.ndarray:
     """Dense (Nz, Ny, Nx) from the first float grid of a .vdb file."""
     vol = None
+    native_err = None
     lib = _load_native("libvdb.so")
     if lib is not None:
-        vol = _load_vdb_native(lib, path, grid_index)
+        try:
+            vol = _load_vdb_native(lib, path, grid_index)
+        except ValueError as e:
+            # keep the parser's message but let pyopenvdb (when installed)
+            # try layouts the native reader doesn't implement (pre-219
+            # legacy files)
+            native_err = e
     if vol is None:
         try:
             import pyopenvdb  # type: ignore
@@ -70,6 +77,8 @@ def load_vdb(path: str, quantized: bool = True, grid_index: int = 0
         except ImportError:
             pass
     if vol is None:
+        if native_err is not None:
+            raise native_err
         raise RuntimeError(
             f"cannot read {path}: build the native reader with "
             f"`make -C {_NATIVE_DIR}` or install pyopenvdb, or pre-bake the "

@@ -22,7 +22,8 @@ def test_cli_blob_render(tmp_path):
     assert himg.shape == (16, 16, 3)
     assert ckpt.exists()
 
-    # resume doubles accumulated spp
+    # resume adds fresh samples — it continues after the film's highest
+    # accumulated index (never re-drawing (pixel, sample) duplicates)
     rc = render_cli.main([
         "--scene", "blob", "--size", "16x16", "--spp", "2",
         "--density", "20", "--steps-per-launch", "4",
@@ -32,6 +33,22 @@ def test_cli_blob_render(tmp_path):
     f = filmmod.from_numpy_state(
         {k: v for k, v in np.load(ckpt).items()})
     assert float(np.asarray(filmmod.spp(f)).min()) == 4.0
+    # the second pass rendered the K-aligned range [8, 10), not [0, 2)
+    # again — re-drawing would make the two halves exact duplicates
+    import cuda_volpath_tpu.render.integrator as integ
+    from cuda_volpath_tpu import scenes
+    from cuda_volpath_tpu.config import Param, RenderSettings
+    from cuda_volpath_tpu.render.scene import materials_from_param
+    from cuda_volpath_tpu.render import camera as cammod
+    scene, _, _ = scenes.gaussian_blob(32)
+    scene = scene.replace(mat=materials_from_param(Param(density=20.0)))
+    cam = cammod.make_camera()
+    s = RenderSettings(steps_per_launch=4)
+    fa = integ.render(scene, cam, s, 16, 16, 2, pool=256, sample_offset=0)
+    fb = integ.render(scene, cam, s, 16, 16, 2, pool=256, sample_offset=8)
+    expect = filmmod.merge([fa, fb])
+    np.testing.assert_allclose(np.asarray(f.data), np.asarray(expect.data),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_cli_periodic_checkpoint_and_failure_recovery(tmp_path, monkeypatch):

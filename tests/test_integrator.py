@@ -304,6 +304,31 @@ def test_packed_opacity_fetch_equivalent():
     assert np.asarray(filmmod.heat(f_packed)).max() > 20
 
 
+def test_opacity_shortcut_requires_real_cache():
+    """With precompute_opacity=True but NO baked cache, the deep-scatter
+    NEE shortcut must not fire (it would add the full unshadowed sun term
+    while skipping the real shadow march).  Gated correctly, the render is
+    bit-identical to precompute_opacity=False."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=300.0, albedo=(1.0, 1.0, 1.0),
+                                     g=0.3))
+    scene = make_scene(vol, mat, envmod.constant(BG),
+                       sun_dir=(0.3, 0.9, 0.3), sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    assert scene.packed is not None and float(scene.od_scale) == 0.0
+    base = dict(steps_per_launch=4, max_depth=64)
+    f_on = _render(scene, RenderSettings(precompute_opacity=True, **base),
+                   w=8, h=8, spp=16, pool=256)
+    f_off = _render(scene, RenderSettings(precompute_opacity=False, **base),
+                    w=8, h=8, spp=16, pool=256)
+    assert np.asarray(filmmod.heat(f_on)).max() > 20  # deep lanes exist
+    np.testing.assert_array_equal(np.asarray(filmmod.heat(f_on)),
+                                  np.asarray(filmmod.heat(f_off)))
+    np.testing.assert_allclose(np.asarray(filmmod.image(f_on)),
+                               np.asarray(filmmod.image(f_off)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_state_bf16_close_to_f32():
     """bf16 radiometric-state storage (config.state_bf16) rounds only the
     between-step stores (~0.4% relative per event update) — a short render
