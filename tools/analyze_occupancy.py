@@ -37,6 +37,10 @@ def main() -> int:
                     "3 pool*K samples retired, like bench.py)")
     ap.add_argument("--rearm-every", type=int, default=None)
     ap.add_argument("--opacity", type=int, default=0, choices=(0, 1))
+    ap.add_argument("--steps", type=int, default=128,
+                    help="steps_per_launch (XLA-CPU compile time grows "
+                    "superlinearly with the instrumented unroll — use "
+                    "24-32 there; the TPU remote compiler handles 128)")
     args = ap.parse_args()
 
     import os
@@ -58,7 +62,7 @@ def main() -> int:
         fn = scenes.flagship if args.scene == "flagship" else scenes.cloud
         scene, cam, _ = fn(n=256, bake_opacity=bool(args.opacity))
     over = {"rearm_every": args.rearm_every} if args.rearm_every else {}
-    settings = RenderSettings(steps_per_launch=128, instrument=True,
+    settings = RenderSettings(steps_per_launch=args.steps, instrument=True,
                               precompute_opacity=bool(args.opacity), **over)
 
     _, launch = integrator.make_step_fn(settings, w, h)
