@@ -77,6 +77,10 @@ def main():
     metric_scene = "cloud_decomp" if scene_name == "cloud" else "julia_decomp"
     settings = RenderSettings(steps_per_launch=steps,
                               precompute_opacity=opacity_on)
+    # BENCH_SETTINGS='{"rearm_every": 4, ...}' — ad-hoc RenderSettings
+    # overrides for tuning sweeps (field values must be JSON scalars)
+    if os.environ.get("BENCH_SETTINGS"):
+        settings = settings.replace(**json.loads(os.environ["BENCH_SETTINGS"]))
     print(f"# scene ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     npix = width * height
