@@ -45,16 +45,15 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "flagship")
 
     t0 = time.time()
-    # BENCH_OPACITY=1 enables the baked sun-opacity cache (reference
-    # parity: PRECOMPUTE_OPACITY=1, kernel.cu:30).  Round 1 kept it off
-    # because its NEE shortcut only fires at scatters > 20 and the separate
-    # pool-wide opacity fetch per micro-step cost more than the shortcut
-    # saved; the packed [density, od₂₄] row table
-    # (render.scene.pack_density_opacity) now folds that fetch into the
-    # march's existing density gather, so parity costs nothing — flip the
-    # default once the on-chip A/B and the one-time 256³ bake are recorded
-    # (keeps the driver's unattended run on the warmed configuration).
-    opacity_on = os.environ.get("BENCH_OPACITY", "0") == "1"
+    # BENCH_OPACITY=0 disables the baked sun-opacity cache (reference
+    # parity is PRECOMPUTE_OPACITY=1, kernel.cu:30 — the default here).
+    # Round 1 kept it off because the separate pool-wide opacity fetch per
+    # micro-step cost more than its scatters>20 NEE shortcut saved; the
+    # packed [density, od₂₄] row table (render.scene.pack_density_opacity)
+    # folds that fetch into the march's existing density gather, and the
+    # on-chip A/B (idle host, 120 s windows) measured parity as neutral:
+    # 609.6k on vs 608.1k off (+7% ms/launch repaid in steps/sample).
+    opacity_on = os.environ.get("BENCH_OPACITY", "1") == "1"
     scene_fn = scenes.cloud if scene_name == "cloud" else scenes.flagship
     scene, cam, param = scene_fn(n=256, bake_opacity=opacity_on)
     if os.environ.get("BENCH_NO_PACK", "0") == "1":
