@@ -21,13 +21,9 @@ BASELINE_SAMPLES_S = 16.4e6  # GTX 1080 derived (BASELINE.md)
 
 def main():
     import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        # honor the env var even when a backend plugin's hook probes its
-        # transport regardless (the remote-TPU tunnel does)
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from cuda_volpath_tpu.runtime import configure_jax
+    configure_jax()  # JAX_PLATFORMS pin + persistent compile cache
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), ".cache", "xla"))
     from cuda_volpath_tpu.config import RenderSettings
     from cuda_volpath_tpu.render import film as filmmod
     from cuda_volpath_tpu.render import integrator

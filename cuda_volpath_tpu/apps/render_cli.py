@@ -166,14 +166,8 @@ def _load_scene(args, param):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor JAX_PLATFORMS even under backend plugins whose import hook
-        # probes their device transport regardless of the env var (the
-        # remote-TPU tunnel does): pin the platform in-process before any
-        # backend initialization, so e.g. JAX_PLATFORMS=cpu renders on the
-        # host while a benchmark owns the single-owner TPU tunnel.
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from ..runtime import configure_jax
+    configure_jax()  # JAX_PLATFORMS pin + persistent compile cache
     import jax.numpy as jnp
     from ..config import (Param, RenderSettings, Tracker, FilterMode,
                           ShadowMode)

@@ -64,11 +64,10 @@ def main(argv=None) -> int:
     ap.add_argument("--density", type=float, default=None)
     args = ap.parse_args(argv)
 
-    import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        # honor the env var even when a backend plugin's hook probes its
-        # transport regardless (the remote-TPU tunnel does)
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from ..runtime import configure_jax
+    configure_jax()  # JAX_PLATFORMS pin + persistent compile cache: a
+    # previously-seen (size, settings) graph loads in seconds instead of
+    # recompiling (ROADMAP: the viewer used to re-jit per resolution)
     import jax.numpy as jnp
     from .. import scenes
     from ..config import Param, RenderSettings

@@ -43,12 +43,8 @@ def main() -> int:
                     "24-32 there; the TPU remote compiler handles 128)")
     args = ap.parse_args()
 
-    import os
-    import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).parent.parent / ".cache" / "xla"))
+    from cuda_volpath_tpu.runtime import configure_jax
+    configure_jax()  # JAX_PLATFORMS pin + persistent compile cache
     import numpy as np
     import jax.numpy as jnp
     from cuda_volpath_tpu.config import RenderSettings, Param
