@@ -208,9 +208,12 @@ class RenderSettings:
     # costs one pool-wide envmap gather (deferred escape shading) plus
     # cheap masked VPU work; values < spawn_every trade that gather for
     # lower re-arm latency.  Draw sequences are (pixel, sample)-keyed, so
-    # the cadence cannot change the rendered result.  Default == spawn_every
-    # (no extra passes — the swept round-2 configuration).
-    rearm_every: int = 12
+    # the cadence cannot change the rendered result.  Swept on-chip at
+    # K8_R8 defaults (two independent long-window runs): 4 → 646k/655k,
+    # 6 → 644k/651k, 2 → 621k, 12 (== spawn_every, no extra passes) →
+    # 605k/612k samples/s — the occupancy decomposition's 9.6% fold_wait
+    # was the predicted lever and 4 collects most of it.
+    rearm_every: int = 4
     # Store the radiometric lane registers (throughput, radiance, sh_tr,
     # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
     # steps materialize every state leaf to HBM (gathers break fusion), so
