@@ -167,8 +167,25 @@ class RenderSettings:
     # March sub-steps per segment-setup pass: null-collision chains run
     # several events per fetch of the bound pyramid, amortizing setup,
     # housekeeping and intersect costs (lanes whose segment ends idle the
-    # remaining sub-steps).
+    # remaining sub-steps).  Under ``unified_march`` the same knob sets the
+    # unified passes per micro-step (marches_per_step + 1, matching the
+    # legacy pass count) so the housekeeping cadences stay comparable.
     marches_per_step: int = 2
+    # Unified march/setup passes: instead of one segment-setup pass (with
+    # its own pool-wide bound-pyramid gather) followed by marches_per_step
+    # march passes (one density gather each), every pass serves BOTH
+    # phases with ONE gather from the scene's fused row table
+    # (built in-graph once per launch): a marching lane fetches its packed [density, od₂₄]
+    # row, a lane setting up a segment fetches its bound row — the two
+    # lane sets are disjoint by construction, and gathers are the dominant
+    # per-step cost on TPU (BENCH.md: 3 → 2 pool-wide gathers per
+    # micro-step at marches_per_step=2).  A lane also never idles a march
+    # sub-step waiting for the next setup pass.  Per-lane draw sequences
+    # and arithmetic are bit-identical to the legacy structure (only fetch
+    # *timing* moves), so drained renders match exactly
+    # (tests/test_unified.py).  Requires a quantized packed scene
+    # and NEAREST filtering (see integrator.make_fused_table).
+    unified_march: bool = False
     # Scale-selection event budget: a segment takes the largest bound-pyramid
     # scale whose expected residual-event count σ̄t·ρ'·(max_k-min_k)·r_k stays
     # under this (integrator.segment_setup).  Larger = longer segments with

@@ -128,6 +128,20 @@ def sample_nearest(grid: Grid3D, pos_local: jnp.ndarray) -> jnp.ndarray:
     return _dequant(_flat_gather(grid.data, idx[..., 0], idx[..., 1], idx[..., 2]))
 
 
+def flat_index(grid: Grid3D, pos: jnp.ndarray) -> jnp.ndarray:
+    """Point-filtered voxel *flat index* at world positions — the index
+    math of ``sample_nearest``/``fetch_rows_raw`` (tex3D point + clamp
+    semantics, kernel.cu:164-196) without the gather, so callers can fetch
+    from a shared/concatenated row table (see integrator ``fused_fetch``).
+    """
+    p = to_local(grid, pos)
+    nz, ny, nx = grid.data.shape[:3]
+    dims = jnp.asarray([nx, ny, nz], jnp.float32)
+    idx = jnp.floor(p * dims).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    return idx[..., 0] + nx * (idx[..., 1] + ny * idx[..., 2])
+
+
 def fetch_rows_raw(grid: Grid3D, pos: jnp.ndarray) -> jnp.ndarray:
     """Point-filtered *raw* multi-channel row fetch at world positions.
 
@@ -137,13 +151,7 @@ def fetch_rows_raw(grid: Grid3D, pos: jnp.ndarray) -> jnp.ndarray:
     ``render.scene.pack_density_opacity``.  Index math is identical to
     ``sample_nearest`` (tex3D point + clamp semantics, kernel.cu:164-196).
     """
-    p = to_local(grid, pos)
-    nz, ny, nx = grid.data.shape[:3]
-    dims = jnp.asarray([nx, ny, nz], jnp.float32)
-    idx = jnp.floor(p * dims).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
-    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
-    flat_idx = ix + nx * (iy + ny * iz)
+    flat_idx = flat_index(grid, pos)
     flat = grid.data.reshape(-1, grid.data.shape[-1])
     rows = jax.lax.optimization_barrier(jnp.take(flat, flat_idx, axis=0))
     return rows.astype(jnp.float32)

@@ -44,6 +44,13 @@ elements per micro-step and (b) micro-steps per camera sample):
 * Micro-steps are Python-unrolled inside one jit (not lax.fori_loop): XLA
   lowers gathers inside loop bodies to a serialized path that is orders of
   magnitude slower than top-level dynamic gathers.
+* With ``config.unified_march`` every pass serves BOTH segment setup and
+  marching from ONE pool-wide gather of a fused row table (in-graph:
+  packed density rows ++ bound-pyramid rows): the two consumer sets are
+  disjoint per pass, so the legacy structure's third gather (the setup
+  pass's bound fetch) disappears and no lane idles a march sub-step
+  waiting for the next setup pass.  Draw sequences and arithmetic are
+  bit-identical between the structures (tests/test_unified.py).
 
 Physics follows ``__d_render_bounded_decomp`` (kernel.cu:1958-2318), with
 the DELTA / BOUNDED variants expressed as parameter degenerations of the
@@ -86,7 +93,7 @@ from ..lighting import envmap as envmod
 from ..lighting import sun as sunmod
 from . import camera as cammod
 from . import film as filmmod
-from .scene import Scene, unpack_od
+from .scene import Scene, unpack_od, to_model_point, to_model_dir
 
 # Lane phases.  A lane is either setting up a segment (path or shadow,
 # selected by ``shadow``), marching inside one, waiting for the batched
@@ -204,8 +211,10 @@ def _hyperion(num_scatters, g0, density):
 
 
 def _sample_density(scene: Scene, pos, linear: bool):
-    """vol_sigma_t's raw grid fetch (kernel.cu:682-694), unscaled."""
-    return gridmod.sample_world(scene.density, pos, linear=linear)
+    """vol_sigma_t's raw grid fetch (kernel.cu:682-694), unscaled; applies
+    the optional world→model transform (kernel.cu:684-685)."""
+    return gridmod.sample_world(scene.density, to_model_point(scene, pos),
+                                linear=linear)
 
 
 def make_step_fn(settings: RenderSettings, width: int, height: int,
@@ -417,7 +426,8 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         coeff = _w(by_phase, coeff_p, coeff_e)
 
         sh_hit, sh_tn, sh_tf = aabb.intersect_box(
-            st.o, nee_dir, scene.density.box_min, scene.density.box_max)
+            to_model_point(scene, st.o), to_model_dir(scene, nee_dir),
+            scene.density.box_min, scene.density.box_max)
         go = m & sh_hit
         scatter_now = m & ~sh_hit
         radiance = _w(scatter_now, st.radiance + coeff, st.radiance)
@@ -457,19 +467,49 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
             st = spawn(scene, cam, st)
         return st, film
 
-    def segment_setup(scene: Scene, st: PathState) -> PathState:
-        """Path: intersect + bounds + hyperion + decomposition control
-        (kernel.cu:2017-2078), with multiscale analytic segments.
-        Shadow: next transmittance segment (control factor applied
-        analytically; residual majorant set up for the march)."""
+    use_shadow = settings.sun_light or use_mis
+
+    def setup_pre(scene: Scene, st: PathState) -> dict:
+        """Pre-fetch half of segment setup: phase masks, the box slab test
+        (kernel.cu:2017-2020), the hyperion schedule, and the bound-row
+        fetch position (the segment entry point, kernel.cu:1655-1659)."""
         setup = st.status == NEW_SEGMENT
         p_setup = setup & ~st.shadow
-        use_shadow = settings.sun_light or use_mis
         s_setup = setup & st.shadow if use_shadow else \
             jnp.zeros_like(setup)
-
         hit, t_near, t_far_box = aabb.intersect_box(
-            st.o, st.d, scene.density.box_min, scene.density.box_max)
+            to_model_point(scene, st.o), to_model_dir(scene, st.d),
+            scene.density.box_min, scene.density.box_max)
+        sh_dir = st.shadow_dir if use_mis else \
+            jnp.broadcast_to(scene.sun_dir, st.d.shape)
+        # hyperion schedule first — the scale-selection cost model uses ρ'
+        g_cur, density_prime = _hyperion(st.num_scatters, scene.mat.g,
+                                         scene.mat.density)
+        pos_b = _w(st.shadow,
+                   st.o + sh_dir * st.dist[:, None],
+                   st.o + st.d * t_near[:, None])
+        return dict(setup=setup, p_setup=p_setup, s_setup=s_setup, hit=hit,
+                    t_near=t_near, t_far_box=t_far_box, g_cur=g_cur,
+                    density_prime=density_prime, pos_b=pos_b)
+
+    def setup_fetch(scene: Scene, ctx: dict):
+        """Legacy-structure bound fetch (its own pool-wide gather; the
+        unified pass gets the row from ``fused_fetch`` instead)."""
+        if not local_bounds:
+            return None
+        return gridmod.sample_world(scene.bound,
+                                    to_model_point(scene, ctx["pos_b"]),
+                                    linear=False)
+
+    def setup_post(scene: Scene, st: PathState, ctx: dict,
+                   bnd) -> PathState:
+        """Path: bounds + decomposition control (kernel.cu:2017-2078),
+        with multiscale analytic segments.  Shadow: next transmittance
+        segment (control factor applied analytically; residual majorant
+        set up for the march)."""
+        p_setup, s_setup = ctx["p_setup"], ctx["s_setup"]
+        hit, t_near, t_far_box = ctx["hit"], ctx["t_near"], ctx["t_far_box"]
+        g_cur, density_prime = ctx["g_cur"], ctx["density_prime"]
 
         # path miss → escape; the background shade is owed at retire
         # (kernel.cu:2024-2032; see retire)
@@ -479,20 +519,10 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         esc = jnp.where(miss, True, st.esc)
         pseg = p_setup & hit
 
-        # ---- unified multiscale bound fetch (one coarse row per lane)
         radii = scene.bound_radii
-        sh_dir = st.shadow_dir if use_mis else \
-            jnp.broadcast_to(scene.sun_dir, st.d.shape)
-        # hyperion schedule first — the scale-selection cost model uses ρ'
-        g_cur, density_prime = _hyperion(st.num_scatters, scene.mat.g,
-                                         scene.mat.density)
         max_sigma_t = jnp.max(scene.mat.sigma_t)
         min_sigma_t = jnp.min(scene.mat.sigma_t)
         if local_bounds:
-            pos_b = _w(st.shadow,
-                       st.o + sh_dir * st.dist[:, None],
-                       st.o + st.d * t_near[:, None])
-            bnd = gridmod.sample_world(scene.bound, pos_b, linear=False)
             # Scale selection: take the *largest* scale whose expected
             # residual-event count over one segment,
             #   ev_k = σ̄t·ρ'·(max_k − min_k)·r_k,
@@ -613,6 +643,13 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                                  jnp.where(complete, SCATTER, st.status)))
         return st
 
+    def segment_setup(scene: Scene, st: PathState) -> PathState:
+        """Legacy-structure segment setup: pre + own bound gather + post
+        (the unified pass shares one fused gather with the march instead —
+        see step_inner)."""
+        ctx = setup_pre(scene, st)
+        return setup_post(scene, st, ctx, setup_fetch(scene, ctx))
+
     def nee_prep(scene: Scene, st: PathState, col, pos, od_packed=None):
         """On a real collision: compute the NEE coefficient; either take the
         baked-opacity shortcut and scatter now, or enter segmented shadow
@@ -642,7 +679,10 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                 od = od_packed
             elif scene.opacity.data.size > 1:
                 has_cache = True
-                od = gridmod.sample_world(scene.opacity, pos,
+                # transformed, unlike the reference's dead-code path
+                # (kernel.cu:2184) — see Scene.world_to_model
+                od = gridmod.sample_world(scene.opacity,
+                                          to_model_point(scene, pos),
                                           linear=op_linear)
             else:
                 has_cache = False
@@ -658,7 +698,9 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         need_shadow = col & ~shortcut
         if settings.sun_light:
             sh_hit, sh_tn, sh_tf = aabb.intersect_box(
-                pos, jnp.broadcast_to(scene.sun_dir, pos.shape),
+                to_model_point(scene, pos),
+                jnp.broadcast_to(to_model_dir(scene, scene.sun_dir),
+                                 pos.shape),
                 scene.density.box_min, scene.density.box_max)
             sh_miss = need_shadow & ~sh_hit   # Tr = 1 (kernel.cu:769-772)
             radiance = _w(sh_miss, radiance + nee_coeff, radiance)
@@ -705,10 +747,12 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
             **extra)
         return st, scatter_now
 
-    def march(scene: Scene, st: PathState) -> PathState:
-        """One unified null-collision event: path free-flight
-        (kernel.cu:2082-2142) or one shadow residual-ratio-tracking event,
-        selected per lane."""
+    need_od = settings.sun_light and settings.precompute_opacity
+
+    def march_pre(scene: Scene, st: PathState) -> dict:
+        """Pre-fetch half of the unified march: the speculative draw pair,
+        boundary tests, and the event/collision fetch position
+        (kernel.cu:2082-2094)."""
         m = st.status == MARCH
         path = m & ~st.shadow
         shad = m & st.shadow
@@ -735,17 +779,6 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         sh_complete = sh_end & (st.t_max >= st.distc)
         ev_sh = shad & ~sh_end
 
-        # ---- one fetch serves both modes — and, when the scene carries the
-        # packed [density, od₂₄] row table, the NEE opacity shortcut too.
-        # Every lane consumes at most one of (density, od): marching lanes
-        # need density at the event point, control-collision lanes (known
-        # from the drawn distance alone, before any fetch) need only the
-        # baked optical depth at the collision point, and a real-scatter
-        # lane reads both at the *same* point.  So fetching the packed row
-        # at the per-lane collision/event position replaces the march's two
-        # pool-wide gathers (density + opacity, kernel.cu:2086 + 2181-2196)
-        # with one, bit-identically for density and to 24-bit precision
-        # for od.
         sh_dir = st.shadow_dir if use_mis else \
             jnp.broadcast_to(scene.sun_dir, st.d.shape)
         march_dir = _w(st.shadow, sh_dir, st.d)
@@ -753,26 +786,60 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         # collision position: control break at distc, else the event point
         # (kernel.cu:2086-2094)
         pos = _w(collide_ctrl, st.o + st.d * st.distc[:, None], pos_event)
-        need_od = settings.sun_light and settings.precompute_opacity
+        return dict(m=m, path=path, shad=shad, rs1=rs1, rs2=rs2, u2=u2,
+                    dist=dist, brk_path=brk_path, through=through,
+                    collide_ctrl=collide_ctrl, sh_end=sh_end,
+                    sh_complete=sh_complete, ev_sh=ev_sh,
+                    pos_event=pos_event, pos=pos)
+
+    def march_fetch(scene: Scene, ctx: dict):
+        """Legacy-structure fetch — one pool-wide gather serves both march
+        modes and, when the scene carries the packed [density, od₂₄] row
+        table, the NEE opacity shortcut too.  Every lane consumes at most
+        one of (density, od): marching lanes need density at the event
+        point, control-collision lanes (known from the drawn distance
+        alone, before any fetch) need only the baked optical depth at the
+        collision point, and a real-scatter lane reads both at the *same*
+        point.  So fetching the packed row at the per-lane
+        collision/event position replaces the march's two pool-wide
+        gathers (density + opacity, kernel.cu:2086 + 2181-2196) with one,
+        bit-identically for density and to 24-bit precision for od.
+        Returns (grid density value, baked od) — both unscaled by ρ'."""
         use_packed = (scene.packed is not None and not linear
                       and not op_linear)
         if use_packed:
-            row = gridmod.fetch_rows_raw(scene.packed, pos)
-            den = row[..., 0] * jnp.float32(1.0 / 255.0) * st.density_prime
+            row = gridmod.fetch_rows_raw(scene.packed,
+                                         to_model_point(scene, ctx["pos"]))
+            dv = row[..., 0] * jnp.float32(1.0 / 255.0)
             od_packed = unpack_od(row, scene.od_scale) if need_od else None
         else:
-            den = _sample_density(scene, pos_event, linear) \
-                * st.density_prime
+            dv = _sample_density(scene, ctx["pos_event"], linear)
             if need_od and scene.packed is not None:
                 # filter modes force separate fetches, but the optical
                 # depth still lives (only) in the packed table — trilinear
                 # filtering commutes with the linear channel recombination
-                rows = gridmod.sample_world(scene.packed, pos,
+                rows = gridmod.sample_world(scene.packed,
+                                            to_model_point(scene, ctx["pos"]),
                                             linear=op_linear)
                 od_packed = unpack_od(rows, scene.od_scale,
                                       dequantized=True)
             else:
                 od_packed = None
+        return dv, od_packed
+
+    def march_post(scene: Scene, st: PathState, ctx: dict, dv,
+                   od_packed) -> PathState:
+        """Post-fetch half: one null-collision event — path free-flight
+        (kernel.cu:2082-2142) or one shadow residual-tracking event,
+        selected per lane."""
+        m, path, shad = ctx["m"], ctx["path"], ctx["shad"]
+        rs1, rs2, u2 = ctx["rs1"], ctx["rs2"], ctx["u2"]
+        dist = ctx["dist"]
+        brk_path, through = ctx["brk_path"], ctx["through"]
+        collide_ctrl = ctx["collide_ctrl"]
+        sh_end, ev_sh = ctx["sh_end"], ctx["ev_sh"]
+        sh_complete = ctx["sh_complete"]
+        den = dv * st.density_prime
 
         # which lanes consume the second draw: a path event test, plus the
         # shadow kill draw under BINARY (shadow weights are deterministic
@@ -856,9 +923,63 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                              NEW_SEGMENT, st.status),
             num_scatters=st.num_scatters + collided.astype(jnp.int32))
 
-        st, scatter_now = nee_prep(scene, st, collided, pos, od_packed)
+        st, scatter_now = nee_prep(scene, st, collided, ctx["pos"],
+                                   od_packed)
         return st.replace(status=jnp.where(scatter_now | sh_complete,
                                            SCATTER, st.status))
+
+    def march(scene: Scene, st: PathState) -> PathState:
+        """Legacy-structure march: pre + own density gather + post."""
+        ctx = march_pre(scene, st)
+        dv, od_packed = march_fetch(scene, ctx)
+        return march_post(scene, st, ctx, dv, od_packed)
+
+    def make_fused_table(scene: Scene) -> jnp.ndarray:
+        """Concatenate packed [density, od₂₄] rows and bound-pyramid rows
+        into the (Nd + Nb, 8) uint8 table the unified pass gathers from —
+        built in-graph once per launch from the resident planes (~0.2 ms
+        of HBM traffic; zero standing memory/pytree cost when
+        unified_march is off)."""
+        from .scene import can_fuse_tables
+        if not can_fuse_tables(scene) or linear or op_linear:
+            raise ValueError(
+                "unified_march requires a quantized packed scene and "
+                "NEAREST density/opacity filtering — use "
+                "unified_march=False for this configuration")
+
+        def pad8(rows):
+            c = rows.shape[-1]
+            return jnp.pad(rows, ((0, 0), (0, 8 - c))) if c < 8 else rows
+        return jnp.concatenate(
+            [pad8(scene.packed.data.reshape(-1,
+                                            scene.packed.data.shape[-1])),
+             pad8(scene.bound.data.reshape(-1,
+                                           scene.bound.data.shape[-1]))],
+            axis=0)
+
+    def fused_fetch(scene: Scene, fused, ctx_m: dict, ctx_s: dict):
+        """The unified pass's single pool-wide gather: a marching lane
+        fetches its packed [density, od₂₄] row at the event/collision
+        position; any other lane fetches the bound-pyramid row at its
+        (prospective) segment entry point — the row index selects between
+        the two halves of the concatenated table.  The two consumer sets
+        are disjoint (a lane is either MARCHing or setting up), so one
+        gather replaces the march's density gather AND the setup pass's
+        bound gather.  Values are bit-identical to the separate fetches
+        (same index math, same dequantization ops)."""
+        idx_d = gridmod.flat_index(scene.packed,
+                                   to_model_point(scene, ctx_m["pos"]))
+        idx_b = gridmod.flat_index(scene.bound,
+                                   to_model_point(scene, ctx_s["pos_b"]))
+        nz, ny, nx = scene.packed.data.shape[:3]
+        idx = jnp.where(ctx_m["m"], idx_d, nz * ny * nx + idx_b)
+        rows = jax.lax.optimization_barrier(
+            jnp.take(fused, idx, axis=0)).astype(jnp.float32)
+        dv = rows[..., 0] * jnp.float32(1.0 / 255.0)
+        od_packed = unpack_od(rows, scene.od_scale) if need_od else None
+        cb = scene.bound.data.shape[-1]
+        bnd = rows[..., :cb] * jnp.float32(1.0 / 255.0)
+        return dv, od_packed, bnd
 
     # bf16 radiometric-state storage (settings.state_bf16): the unrolled
     # steps materialize every state leaf between gathers, so storing the
@@ -891,7 +1012,33 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
 
     scatter_inline = settings.scatter_inline and not use_mis
 
-    def step_inner(scene: Scene, st: PathState) -> PathState:
+    def unified_pass(scene: Scene, fused, st: PathState) -> PathState:
+        """One unified march/setup pass (config.unified_march): marching
+        lanes advance one null-collision event while NEW_SEGMENT lanes set
+        up their next segment, sharing ONE pool-wide gather (fused_fetch).
+        Both halves mask on the pre-pass status, so their lane sets are
+        disjoint and the masked updates commute; per-lane draw sequences
+        and arithmetic are bit-identical to the legacy structure — only
+        the fetch *timing* moves, so drained renders match exactly."""
+        ctx_s = setup_pre(scene, st)
+        ctx_m = march_pre(scene, st)
+        dv, od_packed, bnd = fused_fetch(scene, fused, ctx_m, ctx_s)
+        st = _pack(march_post(scene, st, ctx_m, dv, od_packed))
+        st = _pack(setup_post(scene, st, ctx_s, bnd))
+        if scatter_inline:
+            st = _pack(do_scatter(st, st.status == SCATTER))
+        return st
+
+    def step_inner(scene: Scene, st: PathState,
+                   fused=None) -> PathState:
+        if settings.unified_march:
+            # marches_per_step + 1 passes ≙ the legacy pass count per
+            # micro-step, keeping the housekeeping cadences comparable
+            if fused is None:  # launch_body hoists one table per launch
+                fused = make_fused_table(scene)
+            for _ in range(settings.marches_per_step + 1):
+                st = unified_pass(scene, fused, st)
+            return st
         st = _pack(segment_setup(scene, st))
         for _ in range(settings.marches_per_step):
             st = _pack(march(scene, st))
@@ -934,6 +1081,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         # pool-wide envmap gather per pass — per-lane draw sequences are
         # (pixel, sample)-keyed, so the cadence cannot change any result.
         rearm = min(settings.rearm_every, settings.spawn_every)
+        fused = make_fused_table(scene) if settings.unified_march else None
         stats = []
         for i in range(settings.steps_per_launch):
             if i % settings.spawn_every == 0:
@@ -945,7 +1093,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                 st = _pack(fold_and_rearm(scene, cam, st))
             if settings.instrument:
                 stats.append(_phase_counts(st))
-            st = step_inner(scene, st)
+            st = step_inner(scene, st, fused)
         st, film = housekeeping(scene, cam, st, film, flush=True)
         if settings.instrument:
             return _unpack(st), film, jnp.stack(stats)
@@ -1015,7 +1163,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            film: filmmod.Film | None = None,
            progress_cb=None,
            tail_pool: int = 1 << 14,
-           sample_offset: int = 0) -> filmmod.Film:
+           sample_offset: int = 0,
+           stats: dict | None = None) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
@@ -1032,6 +1181,12 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     ``film.merge`` combines them (zero-communication multi-host
     scale-out).  Must be a multiple of ``samples_per_item`` (work items
     are K-sample-aligned blocks).
+
+    ``stats`` (optional dict) is filled with drain diagnostics:
+    ``queue_empty_s`` (wall seconds until the work queue emptied),
+    ``drain_s`` (wall seconds from queue-empty to the last straggler),
+    ``launches`` and ``drain_launches`` (counts), ``drain_pool_steps``
+    (Σ pool·steps over drain launches, the tail's lane-step budget).
     """
     npix = width * height
     if settings.instrument:
@@ -1065,12 +1220,23 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     # cached across renders) instead of one late jump to tail_pool.
     ladder = drain_ladder(pool, tail_pool)
 
+    import time as _time
+    t0 = _time.time()
+    queue_empty_t = None
+    n_launches = n_drain = 0
+    drain_pool_steps = 0
     while True:
         st, film = launch(scene, cam, st, film)
+        n_launches += 1
+        if queue_empty_t is not None:
+            n_drain += 1
+            drain_pool_steps += pool * settings.steps_per_launch
         if progress_cb is not None:
             progress_cb(film)
         if int(st.next_item[0]) < int(st.total_items[0]):
             continue
+        if queue_empty_t is None:
+            queue_empty_t = _time.time()
         live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
         if live == 0:
             break
@@ -1080,4 +1246,11 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             if pool > p and live <= p:
                 st = compact_state(st, p)
                 pool = p
+    if stats is not None:
+        end = _time.time()
+        stats.update(
+            queue_empty_s=round((queue_empty_t or end) - t0, 1),
+            drain_s=round(end - (queue_empty_t or end), 1),
+            launches=n_launches, drain_launches=n_drain,
+            drain_pool_steps=drain_pool_steps)
     return film

@@ -99,6 +99,41 @@ class Scene:
     # reference's search_radius; larger scales enable long homogeneous /
     # vacuum segments).  Baked into the pyramid; part of the treedef.
     bound_radii: tuple = struct.field(pytree_node=False, default=(0.05,))
+    # Optional world→model transform — the reference's USE_MODEL_TRANSFORM
+    # switch (kernel.cu:32): a row-major (3,4) *inverse* model matrix
+    # (c_invModelMatrix, kernel.cu:628, uploaded identity at startup,
+    # volumeRender.cpp:1350-1353) applied to every volume-space query —
+    # ray/box intersections (kernel.cu:457-461, 658-661, 1635-1641) and
+    # density/bound sample positions (kernel.cu:684-685, 1595-1613).
+    # ``None`` (the default) compiles to the untransformed graph.  Only
+    # rigid transforms (rotation + translation) keep slab-test t values
+    # valid as world marching distances — the same parameterization the
+    # reference's (compiled-out) path assumes, since it never renormalizes
+    # the transformed direction.  Unlike the reference we also transform
+    # the NEE opacity-shortcut position: the reference samples opacity_tex
+    # at the untransformed world point (kernel.cu:2184) while every other
+    # volume query transforms — an inconsistency in its dead code that
+    # would misalign the cache with the density field.
+    world_to_model: Optional[jnp.ndarray] = None
+
+
+def to_model_point(scene: Scene, p: jnp.ndarray) -> jnp.ndarray:
+    """World position → model space (``mul(c_invModelMatrix, float4(p,1))``,
+    kernel.cu:641-649: row dot products + translation column)."""
+    m = scene.world_to_model
+    if m is None:
+        return p
+    return p @ m[:, :3].T + m[:, 3]
+
+
+def to_model_dir(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+    """World direction → model space (``mul(c_invModelMatrix, float3)``,
+    kernel.cu:631-638: rotation/scale only, no translation, no
+    renormalization — matching the reference's slab-test usage)."""
+    m = scene.world_to_model
+    if m is None:
+        return d
+    return d @ m[:, :3].T
 
 
 def make_scene(volume: np.ndarray,
@@ -113,7 +148,8 @@ def make_scene(volume: np.ndarray,
                opacity: Optional[np.ndarray] = None,
                bound_stride: int = 2,
                bound_scales=(1.0, 5.0, 25.0),
-               reference_bounds: bool = False) -> Scene:
+               reference_bounds: bool = False,
+               world_to_model=None) -> Scene:
     """Bake a dense volume into a render-ready scene.
 
     Mirrors the ingestion path loadVdbFile → init_cuda (volumeRender.cpp:
@@ -175,6 +211,14 @@ def make_scene(volume: np.ndarray,
                                box_max=density.box_max)
     if envmap is None:
         envmap = envmod.constant((0.0, 0.0, 0.0))
+    if world_to_model is not None:
+        world_to_model = np.asarray(world_to_model, np.float32)
+        if world_to_model.shape == (4, 4):
+            world_to_model = world_to_model[:3]  # drop the affine last row
+        if world_to_model.shape != (3, 4):
+            raise ValueError("world_to_model must be a row-major (3,4) or "
+                             f"(4,4) matrix, got {world_to_model.shape}")
+        world_to_model = jnp.asarray(world_to_model)
     spo = sun_power if sun_power_original is None else sun_power_original
     scene = Scene(density=density, bound=bound_g, opacity=opacity_g,
                  envmap=envmap,
@@ -183,7 +227,8 @@ def make_scene(volume: np.ndarray,
                  sun_power_original=jnp.asarray(spo, jnp.float32),
                  mat=mat,
                  bound_radii=tuple(float(search_radius * m)
-                                   for m in bound_scales))
+                                   for m in bound_scales),
+                 world_to_model=world_to_model)
     return pack_density_opacity(scene, opacity)
 
 
@@ -257,3 +302,13 @@ def pack_density_opacity(scene: Scene, od: "np.ndarray | None" = None) \
                               box_min=scene.density.box_min,
                               box_max=scene.density.box_max)
     return scene.replace(packed=packed_g, od_scale=od_scale)
+
+
+def can_fuse_tables(scene: Scene) -> bool:
+    """True when the unified march/setup pass can build its fused row
+    table from this scene (quantized packed density + uint8 bound pyramid
+    with ≤ 8 channels) — see integrator ``fused_fetch``."""
+    return (scene.packed is not None
+            and scene.bound.data.dtype == jnp.uint8
+            and scene.bound.data.ndim == 4
+            and scene.bound.data.shape[-1] <= 8)

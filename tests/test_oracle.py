@@ -51,7 +51,7 @@ def _render_sample(scene, cam, launch, s):
     return rgb, heat
 
 
-def _compare(tracker: Tracker):
+def _compare(tracker: Tracker, unified: bool = False):
     scene, cam = _make_parity_scene()
     # samples_per_item=1: _render_sample's work-queue window arithmetic
     # (item == sample*npix + pixel) addresses individual samples — with
@@ -60,7 +60,8 @@ def _compare(tracker: Tracker):
     settings = RenderSettings(tracker=tracker, reference_march=True,
                               precompute_opacity=False,
                               samples_per_item=1,
-                              steps_per_launch=8)
+                              steps_per_launch=8,
+                              unified_march=unified)
     _, launch = integrator.make_step_fn(settings, W, H)
 
     sc = oracle.OracleScene(scene, cam, W, H,
@@ -100,3 +101,9 @@ def test_bounded_matches_reference_oracle():
     """BOUNDED ≙ the decomp kernel with the control medium inactive
     (use_decomposition=false, kernel.cu:2023): no control-distance draw."""
     _compare(Tracker.BOUNDED)
+
+
+def test_decomp_unified_matches_reference_oracle():
+    """DECOMP through the unified march/setup pass (config.unified_march):
+    the fused-table fetch path is draw-for-draw identical too."""
+    _compare(Tracker.DECOMP, unified=True)

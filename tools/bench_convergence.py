@@ -27,6 +27,9 @@ def main() -> int:
                     choices=["flagship", "cloud"])
     ap.add_argument("--size", default="960x512")
     ap.add_argument("--pool", type=int, default=1 << 20)
+    ap.add_argument("--settings", default=None,
+                    help="JSON RenderSettings overrides, e.g. "
+                    "'{\"samples_per_item\": 1, \"unified_march\": true}'")
     ap.add_argument("--opacity", type=int, default=0, choices=(0, 1),
                     help="bake + use the sun-opacity cache (reference "
                     "parity PRECOMPUTE_OPACITY=1; the packed row table "
@@ -48,6 +51,8 @@ def main() -> int:
                                         bake_opacity=bool(args.opacity))
     settings = RenderSettings(steps_per_launch=128,
                               precompute_opacity=bool(args.opacity))
+    if args.settings:
+        settings = settings.replace(**json.loads(args.settings))
 
     # warm every graph (main pool + the whole drain ladder) outside the
     # timed region, mirroring the reference which also excludes compilation
@@ -57,14 +62,16 @@ def main() -> int:
           file=sys.stderr)
 
     t0 = time.time()
+    stats = {}
     film = integrator.render(scene, cam, settings, w, h, args.spp,
-                             pool=args.pool)
+                             pool=args.pool, stats=stats)
     dt = time.time() - t0
     spp = float(np.mean(np.asarray(filmmod.spp(film))))
     tag = "_opacity" if args.opacity else ""
     print(json.dumps({"metric": f"time_to_{args.spp}spp_{w}x{h}_"
                                 f"{args.scene}{tag}",
-                      "seconds": round(dt, 1), "mean_spp": round(spp, 1)}))
+                      "seconds": round(dt, 1), "mean_spp": round(spp, 1),
+                      **stats}))
     return 0
 
 
