@@ -84,6 +84,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--flush-every", type=int, default=None,
                    help="film-flush cadence in housekeeping periods "
                    "(default: config)")
+    p.add_argument("--heat-order", action="store_true",
+                   help="two-phase render: one work item per pixel first, "
+                   "then the rest with the work queue permuted "
+                   "hardest-pixel-first (LPT makespan scheduling — "
+                   "shrinks the straggler drain; the rendered result is "
+                   "unchanged because RNG streams are "
+                   "(pixel, sample)-keyed)")
     p.add_argument("--orbit", type=float, nargs=2, default=None,
                    metavar=("DX", "DY"), help="orbit the default camera")
     p.add_argument("--zoom", type=float, default=None)
@@ -269,10 +276,20 @@ def main(argv=None) -> int:
         trace_cm = jax.profiler.trace(args.profile)
     try:
         with trace_cm:
+            order, two_phase = None, False
+            if args.heat_order:
+                if film is not None and \
+                        float(np.max(np.asarray(film.count[:-1]))) > 0:
+                    # resumed film: its heat is already a measurement
+                    order = integrator.heat_order(film)
+                else:
+                    two_phase = True
             film = integrator.render(scene, cam, settings, width, height,
                                      args.spp, pool=pool, film=film,
                                      progress_cb=progress,
-                                     sample_offset=sample_offset)
+                                     sample_offset=sample_offset,
+                                     pixel_order=order,
+                                     heat_ordered=two_phase)
     except KeyboardInterrupt:
         # the device is still alive: snapshot cannot run here (in-flight
         # launches own donated buffers), but periodic checkpoints already

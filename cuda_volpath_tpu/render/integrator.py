@@ -277,10 +277,16 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         return new_rng, tp
 
     def spawn(scene: Scene, cam: cammod.Camera,
-              st: PathState) -> PathState:
+              st: PathState, order=None) -> PathState:
         """Pull new work items into retired lanes.  An item is
         ``samples_per_item`` consecutive samples of one pixel; the lane
-        runs them back-to-back (fold_and_rearm) and flushes once."""
+        runs them back-to-back (fold_and_rearm) and flushes once.
+
+        ``order`` (optional (npix,) i32 permutation) remaps the pixel slot
+        of every sample block — issuing hard pixels first (see
+        ``heat_order``) is pure makespan scheduling: per-sample draw
+        sequences are (pixel, sample)-keyed, so the film converges to the
+        identical result; only the straggler drain shrinks."""
         can = (st.status == DONE) & (st.pixel < 0)
         rank = jnp.cumsum(can.astype(jnp.int32)) - can.astype(jnp.int32)
         item = st.next_item[0] + rank
@@ -290,6 +296,8 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
             jnp.maximum(st.total_items[0] - st.next_item[0], 0))
 
         pixel = item % npix
+        if order is not None:
+            pixel = jnp.take(order, pixel, axis=0)
         sample = (item // npix) * settings.samples_per_item
         px = pixel % width
         py = pixel // width
@@ -446,7 +454,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         return st, scatter_now
 
     def housekeeping(scene: Scene, cam: cammod.Camera, st: PathState,
-                     film: filmmod.Film, flush: bool = True):
+                     film: filmmod.Film, flush: bool = True, order=None):
         """The batched per-``spawn_every`` pass: process pending scatters
         (under MIS the sun estimate is followed by the envmap estimate
         before scattering), shade escapes + fold finished samples, re-arm
@@ -464,7 +472,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         st = fold_and_rearm(scene, cam, st)
         if flush:
             st, film = flush_film(st, film)
-            st = spawn(scene, cam, st)
+            st = spawn(scene, cam, st, order)
         return st, film
 
     use_shadow = settings.sun_light or use_mis
@@ -1003,10 +1011,10 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                              for f in _rad_fields})
 
     def step(scene: Scene, cam: cammod.Camera, st: PathState,
-             film: filmmod.Film):
+             film: filmmod.Film, order=None):
         scene = mono_scene(scene)
         st = _pack(st)
-        st, film = housekeeping(scene, cam, st, film)
+        st, film = housekeeping(scene, cam, st, film, order=order)
         st = step_inner(scene, st)
         return _unpack(st), film
 
@@ -1067,7 +1075,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
             s(done & (st.pixel < 0))])
 
     def launch_body(scene: Scene, cam: cammod.Camera, st: PathState,
-                    film: filmmod.Film):
+                    film: filmmod.Film, order=None):
         scene = mono_scene(scene)
         st = _pack(st)
         # Python-unrolled (not fori_loop) — see module docstring.
@@ -1088,13 +1096,14 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
                 hk = i // settings.spawn_every
                 st, film = housekeeping(
                     scene, cam, st, film,
-                    flush=(hk % settings.flush_every == 0))
+                    flush=(hk % settings.flush_every == 0), order=order)
             elif i % rearm == 0:
                 st = _pack(fold_and_rearm(scene, cam, st))
             if settings.instrument:
                 stats.append(_phase_counts(st))
             st = step_inner(scene, st, fused)
-        st, film = housekeeping(scene, cam, st, film, flush=True)
+        st, film = housekeeping(scene, cam, st, film, flush=True,
+                                order=order)
         if settings.instrument:
             return _unpack(st), film, jnp.stack(stats)
         return _unpack(st), film
@@ -1146,15 +1155,40 @@ def drain_ladder(pool: int, tail_pool: int, factor: int = 2) -> list:
 
 def prewarm_drain(scene: Scene, cam: cammod.Camera,
                   settings: RenderSettings, width: int, height: int,
-                  pool: int, tail_pool: int = 1 << 14) -> None:
+                  pool: int, tail_pool: int = 1 << 14,
+                  pixel_order: bool = False) -> None:
     """Compile every drain-ladder graph (one launch per pool size on an
-    empty queue) so a timed render never hits a cold compile mid-drain."""
+    empty queue) so a timed render never hits a cold compile mid-drain.
+    ``pixel_order=True`` warms the permuted-queue variants instead (a
+    traced (npix,) argument — its own HLO)."""
     _, launch = make_step_fn(settings, width, height)
     film = filmmod.make_film(width, height)
+    order = (jnp.arange(width * height, dtype=jnp.int32) if pixel_order
+             else None)
     for p in [pool] + drain_ladder(pool, tail_pool):
         st = init_state(p)
-        st, film = launch(scene, cam, st, film)
+        st, film = launch(scene, cam, st, film, order)
     float(jnp.sum(film.count[:-1]))  # force (lazy tunnel backends)
+
+
+def heat_order(film: filmmod.Film):
+    """Work-queue pixel permutation from measured heat, hardest first.
+
+    LPT-style makespan scheduling for the straggler drain: high-heat
+    pixels (deep-scatter paths — the reference's 800-bounce tails,
+    kernel.cu:34) enter the pool at the *front* of every sample block, so
+    the items still in flight when the queue empties are the easy ones.
+    Per-sample draw sequences are (pixel, sample)-keyed, so the rendered
+    result is unchanged (tests/test_integrator.py).  Pixels with no
+    flushed samples yet sort hardest of all — on a mid-render film they
+    are precisely the still-marching stragglers.  Returns (npix,) i32;
+    see ``render(heat_ordered=True)`` for the drain-free two-phase use.
+    """
+    import numpy as np
+    h = np.asarray(film.data[:-1, 3])
+    c = np.asarray(film.data[:-1, 4])
+    key = np.where(c > 0, h / np.maximum(c, 1.0), np.inf)
+    return np.argsort(-key, kind="stable").astype(np.int32)
 
 
 def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
@@ -1164,7 +1198,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            progress_cb=None,
            tail_pool: int = 1 << 14,
            sample_offset: int = 0,
-           stats: dict | None = None) -> filmmod.Film:
+           stats: dict | None = None,
+           pixel_order=None,
+           heat_ordered: bool = False) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
@@ -1181,6 +1217,19 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     ``film.merge`` combines them (zero-communication multi-host
     scale-out).  Must be a multiple of ``samples_per_item`` (work items
     are K-sample-aligned blocks).
+
+    ``pixel_order`` (optional (npix,) permutation, see ``heat_order``)
+    remaps the pixel slot of every sample block in the work queue —
+    hardest-first issue order shrinks the straggler drain without
+    changing the result.
+
+    ``heat_ordered=True`` derives that permutation in-render: phase 1
+    issues one work item per pixel in identity order; when its queue
+    empties, the film's measured heat permutes all remaining sample
+    blocks hardest-first and the new queue is installed *under* the
+    still-marching phase-1 stragglers — no intermediate drain, no lost
+    work.  The straggler drain then only ever holds the easiest pixels.
+    Identical film to a plain render (RNG is (pixel, sample)-keyed).
 
     ``stats`` (optional dict) is filled with drain diagnostics:
     ``queue_empty_s`` (wall seconds until the work queue emptied),
@@ -1213,6 +1262,17 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
                                        jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
+    order = None if pixel_order is None else \
+        jnp.asarray(pixel_order, jnp.int32)
+    pending_total = None
+    if heat_ordered and spp > k:
+        if pixel_order is not None:
+            raise ValueError("pass pixel_order or heat_ordered, not both")
+        # identity order for phase 1: same traced signature (and compiled
+        # graph) as the permuted phase 2
+        order = jnp.arange(npix, dtype=jnp.int32)
+        pending_total = total  # host int: st leaves are donated per launch
+        st = st.replace(total_items=jnp.full((1,), base + npix, jnp.int32))
 
     # Drain ladder: once the queue empties, live lanes collapse quickly but
     # a launch still costs the full pool — repack stragglers into
@@ -1226,7 +1286,7 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     n_launches = n_drain = 0
     drain_pool_steps = 0
     while True:
-        st, film = launch(scene, cam, st, film)
+        st, film = launch(scene, cam, st, film, order)
         n_launches += 1
         if queue_empty_t is not None:
             n_drain += 1
@@ -1234,6 +1294,17 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         if progress_cb is not None:
             progress_cb(film)
         if int(st.next_item[0]) < int(st.total_items[0]):
+            continue
+        if pending_total is not None:
+            # phase-1 queue empty: permute the remaining sample blocks
+            # hardest-first (unflushed pixels — the in-flight stragglers —
+            # sort first) and install the full queue under the pool
+            order = jnp.asarray(heat_order(film))
+            st = st.replace(total_items=jnp.full((1,), pending_total,
+                                                 jnp.int32))
+            pending_total = None
+            if stats is not None:
+                stats["phase1_s"] = round(_time.time() - t0, 1)
             continue
         if queue_empty_t is None:
             queue_empty_t = _time.time()

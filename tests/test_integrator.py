@@ -139,6 +139,41 @@ def test_deterministic_and_pool_invariant():
     np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
+def test_pixel_order_invariant():
+    """A permuted work queue (integrator.heat_order's mechanism) is pure
+    scheduling: RNG streams are (pixel, sample)-keyed, so the same sample
+    set is rendered in a different order — per-pixel counts/heat match
+    exactly and radiance sums to fp-addition-order jitter."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=10.0, g=0.5))
+    scene = make_scene(vol, mat, envmap=envmod.constant(BG),
+                       sun_dir=(0.0, 1.0, 0.0), sun_power=(1.0, 1.0, 1.0),
+                       sun_power_original=(10.0, 10.0, 10.0))
+    settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
+    w = h = 8
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(w * h).astype(np.int32)
+    f_id = _render(scene, settings, w=w, h=h, spp=16, pool=256)
+    cam = cammod.make_camera()
+    f_pm = integrator.render(scene, cam, settings, w, h, 16, pool=256,
+                             pixel_order=perm)
+    np.testing.assert_array_equal(np.asarray(f_id.data[:, 4]),
+                                  np.asarray(f_pm.data[:, 4]))
+    np.testing.assert_allclose(np.asarray(f_id.data), np.asarray(f_pm.data),
+                               rtol=1e-5, atol=1e-6)
+    # heat_order on a finished film is a valid permutation
+    order = integrator.heat_order(f_id)
+    assert sorted(order.tolist()) == list(range(w * h))
+    # the drain-free two-phase mode (phase-2 queue installed under the
+    # phase-1 stragglers) renders the same sample set too
+    f_ho = integrator.render(scene, cam, settings, w, h, 16, pool=256,
+                             heat_ordered=True)
+    np.testing.assert_array_equal(np.asarray(f_id.data[:, 4]),
+                                  np.asarray(f_ho.data[:, 4]))
+    np.testing.assert_allclose(np.asarray(f_id.data), np.asarray(f_ho.data),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_multi_sample_items_equivalent():
     """``samples_per_item`` K>1 folds K consecutive samples of one pixel
     into per-lane accumulator registers before the film scatter-add — the

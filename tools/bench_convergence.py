@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--settings", default=None,
                     help="JSON RenderSettings overrides, e.g. "
                     "'{\"samples_per_item\": 1, \"unified_march\": true}'")
+    ap.add_argument("--heat-order", type=int, default=0, choices=(0, 1),
+                    help="heat-ordered work queue (render(heat_ordered=True)):"
+                    " one work item per pixel in identity order first, then"
+                    " all remaining sample blocks hardest-pixel-first — LPT"
+                    " makespan scheduling that collapses the straggler"
+                    " drain; the rendered result is unchanged")
     ap.add_argument("--opacity", type=int, default=0, choices=(0, 1),
                     help="bake + use the sun-opacity cache (reference "
                     "parity PRECOMPUTE_OPACITY=1; the packed row table "
@@ -57,17 +63,23 @@ def main() -> int:
     # warm every graph (main pool + the whole drain ladder) outside the
     # timed region, mirroring the reference which also excludes compilation
     t0 = time.time()
-    integrator.prewarm_drain(scene, cam, settings, w, h, args.pool)
+    # heat-ordered renders run every phase through the permuted-queue
+    # graphs (identity order in phase 1 — same traced signature), so only
+    # one graph set is ever needed
+    integrator.prewarm_drain(scene, cam, settings, w, h, args.pool,
+                             pixel_order=bool(args.heat_order))
     print(f"# warmed main + drain-ladder graphs in {time.time() - t0:.0f}s",
           file=sys.stderr)
 
     t0 = time.time()
     stats = {}
     film = integrator.render(scene, cam, settings, w, h, args.spp,
-                             pool=args.pool, stats=stats)
+                             pool=args.pool, stats=stats,
+                             heat_ordered=bool(args.heat_order))
     dt = time.time() - t0
     spp = float(np.mean(np.asarray(filmmod.spp(film))))
     tag = "_opacity" if args.opacity else ""
+    tag += "_heatorder" if args.heat_order else ""
     print(json.dumps({"metric": f"time_to_{args.spp}spp_{w}x{h}_"
                                 f"{args.scene}{tag}",
                       "seconds": round(dt, 1), "mean_spp": round(spp, 1),
