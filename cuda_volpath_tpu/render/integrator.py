@@ -1159,14 +1159,18 @@ def prewarm_drain(scene: Scene, cam: cammod.Camera,
                   pixel_order: bool = False) -> None:
     """Compile every drain-ladder graph (one launch per pool size on an
     empty queue) so a timed render never hits a cold compile mid-drain.
-    ``pixel_order=True`` warms the permuted-queue variants instead (a
-    traced (npix,) argument — its own HLO)."""
+    ``pixel_order=True`` additionally warms the permuted-queue variant (a
+    traced (npix,) argument — its own HLO) at the main pool size only:
+    ``render`` drops the order once the queue empties, so drain launches
+    always run the no-order graphs warmed below."""
     _, launch = make_step_fn(settings, width, height)
     film = filmmod.make_film(width, height)
-    order = (jnp.arange(width * height, dtype=jnp.int32) if pixel_order
-             else None)
     for p in [pool] + drain_ladder(pool, tail_pool):
         st = init_state(p)
+        st, film = launch(scene, cam, st, film, None)
+    if pixel_order:
+        order = jnp.arange(width * height, dtype=jnp.int32)
+        st = init_state(pool)
         st, film = launch(scene, cam, st, film, order)
     float(jnp.sum(film.count[:-1]))  # force (lazy tunnel backends)
 
@@ -1308,6 +1312,10 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             continue
         if queue_empty_t is None:
             queue_empty_t = _time.time()
+            # drain launches spawn nothing, so the queue permutation is
+            # inert — drop it and reuse the cached no-order full-pool and
+            # ladder graphs instead of compiling permuted drain variants
+            order = None
         live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
         if live == 0:
             break

@@ -63,9 +63,9 @@ def main() -> int:
     # warm every graph (main pool + the whole drain ladder) outside the
     # timed region, mirroring the reference which also excludes compilation
     t0 = time.time()
-    # heat-ordered renders run every phase through the permuted-queue
-    # graphs (identity order in phase 1 — same traced signature), so only
-    # one graph set is ever needed
+    # heat-ordered renders run the queue phases through one permuted-queue
+    # graph (identity order in phase 1 — same traced signature) and drop
+    # the order for the drain, so the ladder is warmed order-free
     integrator.prewarm_drain(scene, cam, settings, w, h, args.pool,
                              pixel_order=bool(args.heat_order))
     print(f"# warmed main + drain-ladder graphs in {time.time() - t0:.0f}s",
