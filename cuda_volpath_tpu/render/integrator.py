@@ -1114,22 +1114,29 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
     return step, launch
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def compact_state(st: PathState, new_pool: int) -> PathState:
-    """Repack live lanes into a smaller pool (host-side; drain phase only).
+    """Repack live lanes into a smaller pool (drain phase only).
 
     Lane identity carries no meaning — RNG streams live in the lane
-    registers — so repacking is exact.
+    registers — so repacking is exact: a stable partition (argsort of the
+    1-bit deadness key) moves live lanes to the front in their original
+    order, and slots past the live count are fresh ``init_state`` lanes
+    (DONE, inert).  Runs entirely on device: the original host-side repack
+    round-tripped every state leaf (~180 B/lane) through the axon tunnel —
+    measured 26 s for one 2^20→2^19 rung on zero-filled state and several
+    hundred seconds across a full drain ladder on real (incompressible)
+    state, which dominated finite-render drain time (BENCH.md).
     """
-    import numpy as np
-    live = np.asarray(st.status) != DONE
-    idx = np.nonzero(live)[0][:new_pool]
+    dead = st.status == DONE
+    idx = jnp.argsort(dead, stable=True)[:new_pool]
+    keep = jnp.arange(new_pool) < jnp.sum(~dead)
     fresh = init_state(new_pool)
+    pool = dead.shape[0]
 
     def pick(new, old):
-        if old.shape and old.shape[0] == live.shape[0]:
-            arr = np.array(new)  # writable host copy
-            arr[:len(idx)] = np.asarray(old)[idx]
-            return jnp.asarray(arr)
+        if old.shape and old.shape[0] == pool:
+            return _w(keep, old[idx], new)
         return old  # queue cursors keep their (1,) shape
     return jax.tree.map(pick, fresh, st)
 
@@ -1165,9 +1172,14 @@ def prewarm_drain(scene: Scene, cam: cammod.Camera,
     always run the no-order graphs warmed below."""
     _, launch = make_step_fn(settings, width, height)
     film = filmmod.make_film(width, height)
-    for p in [pool] + drain_ladder(pool, tail_pool):
+    rungs = [pool] + drain_ladder(pool, tail_pool)
+    for p in rungs:
         st = init_state(p)
         st, film = launch(scene, cam, st, film, None)
+    for big, small in zip(rungs, rungs[1:]):
+        # render() walks the ladder rung by rung, so only consecutive-pair
+        # compaction graphs are ever needed
+        compact_state(init_state(big), small)
     if pixel_order:
         order = jnp.arange(width * height, dtype=jnp.int32)
         st = init_state(pool)
@@ -1185,14 +1197,15 @@ def heat_order(film: filmmod.Film):
     Per-sample draw sequences are (pixel, sample)-keyed, so the rendered
     result is unchanged (tests/test_integrator.py).  Pixels with no
     flushed samples yet sort hardest of all — on a mid-render film they
-    are precisely the still-marching stragglers.  Returns (npix,) i32;
-    see ``render(heat_ordered=True)`` for the drain-free two-phase use.
+    are precisely the still-marching stragglers.  Returns (npix,) i32,
+    computed on device (pulling the film through the axon tunnel costs
+    tens of seconds; the permutation itself is 2 MB).
+    See ``render(heat_ordered=True)`` for the drain-free two-phase use.
     """
-    import numpy as np
-    h = np.asarray(film.data[:-1, 3])
-    c = np.asarray(film.data[:-1, 4])
-    key = np.where(c > 0, h / np.maximum(c, 1.0), np.inf)
-    return np.argsort(-key, kind="stable").astype(np.int32)
+    h = film.data[:-1, 3]
+    c = film.data[:-1, 4]
+    key = jnp.where(c > 0, h / jnp.maximum(c, 1.0), jnp.inf)
+    return jnp.argsort(-key, stable=True).astype(jnp.int32)
 
 
 def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
@@ -1289,7 +1302,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     queue_empty_t = None
     n_launches = n_drain = 0
     drain_pool_steps = 0
+    drain_log = [] if stats is not None else None
     while True:
+        t_dispatch = _time.time()
         st, film = launch(scene, cam, st, film, order)
         n_launches += 1
         if queue_empty_t is not None:
@@ -1297,7 +1312,12 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             drain_pool_steps += pool * settings.steps_per_launch
         if progress_cb is not None:
             progress_cb(film)
-        if int(st.next_item[0]) < int(st.total_items[0]):
+        # this host pull blocks until the launch has executed
+        queue_live = int(st.next_item[0]) < int(st.total_items[0])
+        t_done = _time.time()
+        if drain_log is not None and queue_empty_t is not None:
+            drain_log.append([pool, round(t_done - t_dispatch, 2)])
+        if queue_live:
             continue
         if pending_total is not None:
             # phase-1 queue empty: permute the remaining sample blocks
@@ -1317,6 +1337,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             # ladder graphs instead of compiling permuted drain variants
             order = None
         live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
+        t_live = _time.time()
+        if drain_log is not None and drain_log:
+            drain_log[-1] += [live, round(t_live - t_done, 2)]
         if live == 0:
             break
         for p in ladder:
@@ -1325,11 +1348,17 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             if pool > p and live <= p:
                 st = compact_state(st, p)
                 pool = p
+                if drain_log:  # no row yet on the queue-emptying launch
+                    drain_log[-1].append(
+                        round(_time.time() - t_live, 2))
+                    t_live = _time.time()
     if stats is not None:
         end = _time.time()
         stats.update(
             queue_empty_s=round((queue_empty_t or end) - t0, 1),
             drain_s=round(end - (queue_empty_t or end), 1),
             launches=n_launches, drain_launches=n_drain,
-            drain_pool_steps=drain_pool_steps)
+            drain_pool_steps=drain_pool_steps,
+            # per-drain-launch [pool, launch_s, live, check_s, compact_s*]
+            drain_log=drain_log)
     return film

@@ -78,6 +78,9 @@ def main() -> int:
                              heat_ordered=bool(args.heat_order))
     dt = time.time() - t0
     spp = float(np.mean(np.asarray(filmmod.spp(film))))
+    for row in stats.pop("drain_log", None) or []:
+        # [pool, launch_s, live, check_s, compact_s...] per drain launch
+        print(f"# drain {row}", file=sys.stderr)
     tag = "_opacity" if args.opacity else ""
     tag += "_heatorder" if args.heat_order else ""
     print(json.dumps({"metric": f"time_to_{args.spp}spp_{w}x{h}_"
