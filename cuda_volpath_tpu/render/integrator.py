@@ -217,9 +217,17 @@ def _sample_density(scene: Scene, pos, linear: bool):
                                 linear=linear)
 
 
+@functools.lru_cache(maxsize=None)
 def make_step_fn(settings: RenderSettings, width: int, height: int,
                  with_body: bool = False):
     """Build the jitted micro-step/launch for static (settings, resolution).
+
+    Memoized: every caller with the same static config shares ONE jit
+    wrapper, so executables compiled by ``prewarm_drain`` are served from
+    the in-process jit cache when ``render`` (or bench/sweep/viewer code)
+    launches later — separate wrappers each re-trace and, on the remote
+    TPU backend, re-compile identical signatures (measured 24-160 s per
+    launch graph; the persistent cache does not reliably serve them).
 
     The camera is a traced argument of the returned functions — moving it
     re-runs, never re-compiles (the reference equivalently re-uploads
@@ -1173,13 +1181,19 @@ def prewarm_drain(scene: Scene, cam: cammod.Camera,
     _, launch = make_step_fn(settings, width, height)
     film = filmmod.make_film(width, height)
     rungs = [pool] + drain_ladder(pool, tail_pool)
-    for p in rungs:
-        st = init_state(p)
+    # Warm the EXACT in-render drain sequence — launch, live-check,
+    # compact, launch on the compacted state — not just per-rung launches
+    # on fresh init_state: on the remote TPU backend a launch whose state
+    # inputs come from compact_state misses the executable cache that a
+    # fresh-state warmup populated (measured 70-205 s recompile per rung
+    # mid-drain, ~790 s of a 855 s drain phase).
+    st = init_state(rungs[0])
+    st, film = launch(scene, cam, st, film, None)
+    for p in rungs[1:]:
+        int(jnp.sum((st.status != DONE).astype(jnp.int32)))  # live-check
+        st = compact_state(st, p)
         st, film = launch(scene, cam, st, film, None)
-    for big, small in zip(rungs, rungs[1:]):
-        # render() walks the ladder rung by rung, so only consecutive-pair
-        # compaction graphs are ever needed
-        compact_state(init_state(big), small)
+    int(jnp.sum((st.status != DONE).astype(jnp.int32)))
     if pixel_order:
         order = jnp.arange(width * height, dtype=jnp.int32)
         st = init_state(pool)
@@ -1344,14 +1358,20 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             break
         for p in ladder:
             # live lanes only decrease once the queue is empty, so an
-            # exact fit is safe (compact_state must never drop live lanes)
+            # exact fit is safe (compact_state must never drop live lanes).
+            # At most ONE rung per launch: prewarm_drain warms exactly the
+            # launch→compact→launch sequence, and a second consecutive
+            # compaction (compact output feeding compact input) is a
+            # different executable-cache entry on the remote TPU backend —
+            # an occasional launch at ≤2× the ideal pool is far cheaper
+            # than a mid-drain recompile.
             if pool > p and live <= p:
                 st = compact_state(st, p)
                 pool = p
                 if drain_log:  # no row yet on the queue-emptying launch
                     drain_log[-1].append(
                         round(_time.time() - t_live, 2))
-                    t_live = _time.time()
+                break
     if stats is not None:
         end = _time.time()
         stats.update(
