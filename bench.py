@@ -94,7 +94,9 @@ def main():
         mesh = shard.make_mesh(n_dev)
         launch = shard.make_sharded_launch(settings, cam, width, height,
                                            mesh)
-        st = shard.init_sharded_state(pool // n_dev, n_dev, 2**31 - 1)
+        st = shard.init_sharded_state(
+            pool // n_dev, n_dev, 2**31 - 1,
+            samples_per_item=settings.samples_per_item)
         fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
 
         def count(fd):
@@ -136,7 +138,7 @@ def main():
         return
 
     _, launch = integrator.make_step_fn(settings, width, height)
-    st = integrator.init_state(pool)
+    st = integrator.init_state(pool, settings.samples_per_item)
     # effectively-infinite work queue, clamped to int32 range (npix * spp
     # can overflow and wrap negative, which silently spawns nothing)
     st = st.replace(total_items=jnp.full(

@@ -119,7 +119,7 @@ def main(argv=None) -> int:
     launch = get_launch(filter_mode)
 
     def fresh():
-        st = integrator.init_state(pool)
+        st = integrator.init_state(pool, settings.samples_per_item)
         st = st.replace(total_items=jnp.full((1,), width * height * 1000000,
                                              jnp.int32))
         return st, filmmod.make_film(width, height)

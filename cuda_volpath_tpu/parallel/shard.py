@@ -42,7 +42,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 
 
 def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int,
-                       spp: int | None = None) -> integrator.PathState:
+                       spp: int | None = None,
+                       samples_per_item: int = 1) -> integrator.PathState:
     """Global pool state: per-lane leaves (n_dev*pool, ...), queue cursors
     (n_dev,) — device d owns the contiguous item range
     [d*per, min((d+1)*per, total))."""
@@ -52,6 +53,8 @@ def init_sharded_state(pool_per_device: int, n_dev: int, total_items: int,
     upper = np.minimum((np.arange(n_dev) + 1) * per, total_items)
     return st.replace(next_item=jnp.asarray(next_item, jnp.int32),
                       total_items=jnp.asarray(upper, jnp.int32),
+                      k_queue=jnp.full((n_dev,), samples_per_item,
+                                       jnp.int32),
                       spp_limit=jnp.full((n_dev,),
                                          2**31 - 1 if spp is None else spp,
                                          jnp.int32))
@@ -103,7 +106,8 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
                          "render in chunks of fewer spp")
 
     launch = make_sharded_launch(settings, cam, width, height, mesh)
-    st = init_sharded_state(pool_per_device, n_dev, total, spp)
+    st = init_sharded_state(pool_per_device, n_dev, total, spp,
+                            samples_per_item=settings.samples_per_item)
     fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
 
     launches = 0

@@ -162,14 +162,23 @@ class PathState:
     # the whole-pool film scatter-add runs once per work item / flush
     # cadence instead of once per sample (see config.samples_per_item)
     acc: jnp.ndarray          # (N,8) f32
+    # first sample NOT in the lane's current work item (= spawn sample +
+    # the queue's item size at spawn time) — item granularity is a traced
+    # register, not a compile-time static, so every samples_per_item value
+    # shares one compiled graph and ``render`` can taper the last item
+    # generation to 1-sample items (the drain tail is one item long)
+    item_end: jnp.ndarray     # (N,) i32
     # work queue; shape (1,) so sharded pools carry one cursor per device
     next_item: jnp.ndarray    # (1,) i32
     total_items: jnp.ndarray  # (1,) i32
+    # samples per newly spawned work item (item i ↦ pixel i % npix,
+    # samples [(i // npix)·k, (i // npix)·k + k))
+    k_queue: jnp.ndarray      # (1,) i32
     # sample count bound of the render (clips the last multi-sample item)
     spp_limit: jnp.ndarray    # (1,) i32
 
 
-def init_state(pool: int) -> PathState:
+def init_state(pool: int, samples_per_item: int = 1) -> PathState:
     z = lambda *s: jnp.zeros(s, jnp.float32)
     zi = lambda *s: jnp.zeros(s, jnp.int32)
     return PathState(
@@ -184,7 +193,9 @@ def init_state(pool: int) -> PathState:
         nee_coeff=z(pool, 3), sh_tr=z(pool, 3),
         shadow_dir=z(pool, 3), env_stage=jnp.zeros((pool,), bool),
         acc=z(pool, 8),
+        item_end=zi(pool),
         next_item=zi(1), total_items=zi(1),
+        k_queue=jnp.full((1,), samples_per_item, jnp.int32),
         spp_limit=jnp.full((1,), 2**31 - 1, jnp.int32))
 
 
@@ -217,9 +228,22 @@ def _sample_density(scene: Scene, pos, linear: bool):
                                 linear=linear)
 
 
-@functools.lru_cache(maxsize=None)
 def make_step_fn(settings: RenderSettings, width: int, height: int,
                  with_body: bool = False):
+    """Build the jitted micro-step/launch for static (settings, resolution).
+
+    ``samples_per_item`` does not appear in the traced graph (item
+    granularity rides the state's ``k_queue``/``item_end`` registers), so
+    it is canonicalized out of the memo key here: every item size shares
+    ONE jit wrapper and ONE compiled executable — K sweeps and the
+    ``render`` tail taper cost zero recompiles."""
+    return _make_step_fn(settings.replace(samples_per_item=1),
+                         width, height, with_body)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_step_fn(settings: RenderSettings, width: int, height: int,
+                  with_body: bool = False):
     """Build the jitted micro-step/launch for static (settings, resolution).
 
     Memoized: every caller with the same static config shares ONE jit
@@ -306,7 +330,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
         pixel = item % npix
         if order is not None:
             pixel = jnp.take(order, pixel, axis=0)
-        sample = (item // npix) * settings.samples_per_item
+        sample = (item // npix) * st.k_queue[0]
         px = pixel % width
         py = pixel // width
         new_rng, tp = _sample_regs(px, py, sample, st.throughput)
@@ -324,6 +348,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
             shadow=jnp.where(ok, False, st.shadow),
             esc=jnp.where(ok, False, st.esc),
             acc=_w(ok, jnp.zeros_like(st.acc), st.acc),
+            item_end=jnp.where(ok, sample + st.k_queue[0], st.item_end),
             env_stage=(jnp.where(ok, False, st.env_stage) if use_mis
                        else st.env_stage),
             next_item=st.next_item + n_spawned)
@@ -358,7 +383,7 @@ def make_step_fn(settings: RenderSettings, width: int, height: int,
 
         next_sample = st.sample + 1
         more = complete \
-            & (next_sample % settings.samples_per_item != 0) \
+            & (next_sample < st.item_end) \
             & (next_sample < st.spp_limit[0])
         px = st.pixel % width
         py = st.pixel // width
@@ -1231,7 +1256,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            sample_offset: int = 0,
            stats: dict | None = None,
            pixel_order=None,
-           heat_ordered: bool = False) -> filmmod.Film:
+           heat_ordered: bool = False,
+           tail_taper: bool = True) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
     Equivalent of the display loop driving render_kernel once per sample
@@ -1262,6 +1288,17 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     work.  The straggler drain then only ever holds the easiest pixels.
     Identical film to a plain render (RNG is (pixel, sample)-keyed).
 
+    ``tail_taper=True`` (default) renders the last 1..k samples of every
+    pixel as 1-sample work items: when the multi-sample-item queue
+    empties, every lane holds an in-flight item whose remaining work is
+    ~uniform in [0, k·steps-per-sample) — the drain tail is one full item
+    generation long regardless of pixel ordering (measured: heat-ordered
+    issue does NOT shrink it).  Issuing the final generation as k=1 items
+    cuts that tail ~k×.  Item size is a traced register (``k_queue``), so
+    the taper reuses the launch graph — zero extra compiles — and sample
+    values are untouched (the same (pixel, sample) set is rendered; RNG
+    streams are (pixel, absolute-sample)-keyed).
+
     ``stats`` (optional dict) is filled with drain diagnostics:
     ``queue_empty_s`` (wall seconds until the work queue emptied),
     ``drain_s`` (wall seconds from queue-empty to the last straggler),
@@ -1276,8 +1313,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     if pool is None:
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, width, height)
-    st = init_state(pool)
     k = settings.samples_per_item
+    st = init_state(pool, k)
     if sample_offset % k:
         raise ValueError(f"sample_offset {sample_offset} must be a "
                          f"multiple of samples_per_item {k}")
@@ -1287,22 +1324,36 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     if total > 2**31 - 1:
         raise ValueError(f"work queue {total} items overflows int32; "
                          "render in chunks of fewer spp")
+    # tail taper: samples [offset, offset+m) as k-items, the remaining
+    # [offset+m, offset+spp) as 1-items (1-item indices count absolute
+    # samples, so they must fit int32 too — silently keep full-k items
+    # otherwise, exactly the pre-taper behavior)
+    taper = (tail_taper and k > 1 and spp > k
+             and npix * (sample_offset + spp) <= 2**31 - 1)
+    m = ((spp - 1) // k) * k if taper else spp
+    total_main = npix * (-(-(sample_offset + m) // k))
+    # queue phases applied in order whenever the current queue empties
+    # (installed *under* the still-marching pool — no intermediate drain):
+    # [heat-ordered main], [1-sample tail]; the plain render has none.
+    phases = []
+    if taper:
+        phases.append(dict(next=npix * (sample_offset + m),
+                           total=npix * (sample_offset + spp), k=1))
     st = st.replace(next_item=jnp.full((1,), base, jnp.int32),
-                    total_items=jnp.full((1,), total, jnp.int32),
+                    total_items=jnp.full((1,), total_main, jnp.int32),
                     spp_limit=jnp.full((1,), sample_offset + spp,
                                        jnp.int32))
     if film is None:
         film = filmmod.make_film(width, height)
     order = None if pixel_order is None else \
         jnp.asarray(pixel_order, jnp.int32)
-    pending_total = None
     if heat_ordered and spp > k:
         if pixel_order is not None:
             raise ValueError("pass pixel_order or heat_ordered, not both")
         # identity order for phase 1: same traced signature (and compiled
         # graph) as the permuted phase 2
         order = jnp.arange(npix, dtype=jnp.int32)
-        pending_total = total  # host int: st leaves are donated per launch
+        phases.insert(0, dict(total=total_main, heat=True))
         st = st.replace(total_items=jnp.full((1,), base + npix, jnp.int32))
 
     # Drain ladder: once the queue empties, live lanes collapse quickly but
@@ -1333,16 +1384,22 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             drain_log.append([pool, round(t_done - t_dispatch, 2)])
         if queue_live:
             continue
-        if pending_total is not None:
-            # phase-1 queue empty: permute the remaining sample blocks
-            # hardest-first (unflushed pixels — the in-flight stragglers —
-            # sort first) and install the full queue under the pool
-            order = jnp.asarray(heat_order(film))
-            st = st.replace(total_items=jnp.full((1,), pending_total,
-                                                 jnp.int32))
-            pending_total = None
-            if stats is not None:
-                stats["phase1_s"] = round(_time.time() - t0, 1)
+        if phases:
+            ph = phases.pop(0)
+            if ph.get("heat"):
+                # phase-1 queue empty: permute the remaining sample blocks
+                # hardest-first (unflushed pixels — the in-flight
+                # stragglers — sort first) and install the full queue
+                # under the pool
+                order = jnp.asarray(heat_order(film))
+                if stats is not None:
+                    stats["phase1_s"] = round(_time.time() - t0, 1)
+            repl = dict(total_items=jnp.full((1,), ph["total"], jnp.int32))
+            if "next" in ph:
+                repl["next_item"] = jnp.full((1,), ph["next"], jnp.int32)
+            if "k" in ph:
+                repl["k_queue"] = jnp.full((1,), ph["k"], jnp.int32)
+            st = st.replace(**repl)
             continue
         if queue_empty_t is None:
             queue_empty_t = _time.time()

@@ -208,6 +208,43 @@ def test_multi_sample_items_equivalent():
                                   np.asarray(filmmod.heat(f1)))
 
 
+def test_tail_taper_equivalent_and_shares_graph():
+    """``render(tail_taper=True)`` re-issues the last item generation as
+    1-sample items (the drain tail shrinks ~K×); the sample set and every
+    (pixel, sample)-keyed draw are unchanged, so films match a no-taper
+    render up to scatter-add ordering and heat matches exactly.  Item
+    size is a traced register (``PathState.k_queue``), so every
+    samples_per_item shares ONE jit wrapper — K sweeps and the taper cost
+    zero recompiles."""
+    vol = _blob_volume(16)
+    mat = materials_from_param(Param(density=20.0, albedo=(0.9, 0.8, 0.7),
+                                     g=0.3))
+    scene = make_scene(vol, mat, sun_dir=(0.3, 0.9, 0.3),
+                       sun_power=(2.0, 2.0, 2.0),
+                       sun_power_original=(50.0, 50.0, 50.0))
+    base = dict(precompute_opacity=False, steps_per_launch=4)
+    s4 = RenderSettings(samples_per_item=4, **base)
+    cam = cammod.make_camera()
+    f_no = integrator.render(scene, cam, s4, 8, 8, 10, pool=256,
+                             tail_taper=False)
+    f_tp = integrator.render(scene, cam, s4, 8, 8, 10, pool=256,
+                             tail_taper=True)
+    # heat-ordered two-phase + taper compose (phase list)
+    f_ht = integrator.render(scene, cam, s4, 8, 8, 10, pool=256,
+                             heat_ordered=True, tail_taper=True)
+    for f in (f_tp, f_ht):
+        assert (np.asarray(filmmod.spp(f)) == 10).all()
+        np.testing.assert_array_equal(np.asarray(filmmod.heat(f)),
+                                      np.asarray(filmmod.heat(f_no)))
+        np.testing.assert_allclose(np.asarray(filmmod.image(f)),
+                                   np.asarray(filmmod.image(f_no)),
+                                   rtol=1e-5, atol=1e-6)
+    # one shared compiled graph across item sizes
+    s1 = RenderSettings(samples_per_item=1, **base)
+    assert integrator.make_step_fn(s1, 8, 8)[1] \
+        is integrator.make_step_fn(s4, 8, 8)[1]
+
+
 def test_sample_offset_partition_merges_exactly():
     """Disjoint absolute sample ranges (integrator.render's sample_offset)
     drawn by independent renders are the same sample set one render draws —

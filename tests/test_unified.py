@@ -42,7 +42,13 @@ def _scene(with_od=True, quantize=True):
 
 def _render(scene, settings, w=10, h=10, spp=24, pool=2048):
     cam = cammod.make_camera()
-    fm = integrator.render(scene, cam, settings, w, h, spp, pool=pool)
+    # tail_taper off: the bit-identity rate below is calibrated for the
+    # plain one-phase schedule (the taper's extra 1-sample flush batches
+    # add more fp accumulation-order noise between the two structures,
+    # which is not what this test measures — taper equivalence is covered
+    # in tests/test_integrator.py)
+    fm = integrator.render(scene, cam, settings, w, h, spp, pool=pool,
+                           tail_taper=False)
     return np.asarray(fm.data)
 
 

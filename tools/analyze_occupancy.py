@@ -62,7 +62,8 @@ def main() -> int:
                               precompute_opacity=bool(args.opacity), **over)
 
     _, launch = integrator.make_step_fn(settings, w, h)
-    st = integrator.init_state(args.pool)
+    st = integrator.init_state(args.pool,
+                               settings.samples_per_item)
     st = st.replace(total_items=jnp.full((1,), 2**31 - 1, jnp.int32))
     film = filmmod.make_film(w, h)
 

@@ -68,7 +68,7 @@ def main() -> int:
         # opacity-baked scene serves both kinds of config unchanged
         sc = scene
         _, launch = integrator.make_step_fn(settings, w, h)
-        st = integrator.init_state(pool)
+        st = integrator.init_state(pool, settings.samples_per_item)
         st = st.replace(total_items=jnp.full(
             (1,), min(npix * 100000, 2**31 - 1), jnp.int32))
         film = filmmod.make_film(w, h)

@@ -63,12 +63,19 @@ def main() -> int:
     print(f"# scene ready in {time.time() - t0:.0f}s", file=sys.stderr)
 
     for raw in cfgs:
+        raw = dict(raw)
+        # "_heat_order": 1 turns on the heat-ordered work queue for this
+        # config only (a tool knob, not a RenderSettings field — underscore
+        # prefix like sweep.py's "_opacity")
+        heat = bool(raw.pop("_heat_order", args.heat_order))
+        # "_tail_taper": 0 disables the 1-sample-item drain taper
+        taper = bool(raw.pop("_tail_taper", 1))
         settings = RenderSettings(steps_per_launch=args.steps,
                                   precompute_opacity=bool(args.opacity),
                                   **raw)
         t0 = time.time()
         integrator.prewarm_drain(scene, cam, settings, w, h, args.pool,
-                                 pixel_order=bool(args.heat_order))
+                                 pixel_order=heat)
         print(f"# {json.dumps(raw)}: prewarmed in {time.time() - t0:.0f}s",
               file=sys.stderr)
 
@@ -76,10 +83,14 @@ def main() -> int:
         stats = {}
         film = integrator.render(scene, cam, settings, w, h, args.spp,
                                  pool=args.pool, stats=stats,
-                                 heat_ordered=bool(args.heat_order))
+                                 heat_ordered=heat, tail_taper=taper)
         dt = time.time() - t0
         spp = float(np.mean(np.asarray(filmmod.spp(film))))
         stats.pop("drain_log", None)
+        if heat:
+            raw["_heat_order"] = 1
+        if not taper:
+            raw["_tail_taper"] = 0
         print(json.dumps({
             "config": raw, "scene": args.scene, "pool": args.pool,
             "spp": round(spp, 1), "seconds": round(dt, 1),
