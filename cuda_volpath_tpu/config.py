@@ -245,6 +245,34 @@ class RenderSettings:
     # step — for the occupancy analysis tool (tools/analyze_occupancy.py),
     # not production renders; integrator.render() rejects it.
     instrument: bool = False
+    # Roll the launch into ``lax.scan`` over blocks of ``spawn_every``
+    # micro-steps (the housekeeping period) instead of Python-unrolling
+    # ``steps_per_launch`` micro-steps into one flat graph.  Identical
+    # draw sequences and op order (the flush cadence becomes a
+    # ``lax.cond`` on the block counter; films match to ~1 ulp of
+    # compiled-fusion rounding, tests/test_scan.py); the graph is one block long,
+    # which tames XLA's superlinear compile cost — the unrolled 128-step
+    # graph takes ~11 min to compile on the remote TPU and the shard_map'd
+    # variant exhausts XLA-CPU entirely (>54 GB RSS, BENCH.md), while the
+    # scanned block compiles in seconds-to-minutes everywhere, making the
+    # *production-shaped* multi-chip graph compilable on a virtual mesh
+    # (__graft_entry__.dryrun_multichip).  Requires steps_per_launch to be
+    # a multiple of spawn_every.  Throughput vs the unrolled launch is
+    # measured on-chip in BENCH.md ("Scan launch A/B").
+    use_scan: bool = False
+    # Production RNG (ops.rng.cheap_next): a keyed-SplitMix32 counter
+    # generator instead of the reference-parity hash+xoroshiro stream —
+    # ~⅓ the per-draw arithmetic and no serial dependency between the
+    # march's two lookahead draws (the parity generator measures ~23% of
+    # step cost, BENCH.md "Where the time goes").  Streams remain
+    # (pixel, sample)-keyed: determinism, pool/sharding invariance and
+    # checkpoint resume are unaffected; only the draw VALUES differ, so
+    # per-sample results are not draw-for-draw the reference's (identical
+    # expectation — tests/test_statistical.py covers both generators).
+    # Default off: parity is the validated configuration and the bench
+    # default.  Incompatible with reference_march (which is the parity
+    # validation mode by definition).
+    cheap_rng: bool = False
     # Reference march semantics: draw-for-draw parity with the reference's
     # active kernel (__d_render_bounded_decomp + Tr_spectral,
     # src/volumeRender_kernel.cu:1958-2318, 754-808).  Requires a scene

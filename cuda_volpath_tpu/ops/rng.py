@@ -69,6 +69,56 @@ def init(pixel_x: jnp.ndarray, pixel_y: jnp.ndarray, sample_idx) -> jnp.ndarray:
     return state
 
 
+def fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3 finalizer — full-avalanche 32-bit bijection."""
+    x = x ^ (x >> UINT(16))
+    x = x * UINT(0x85EBCA6B)
+    x = x ^ (x >> UINT(13))
+    x = x * UINT(0xC2B2AE35)
+    x = x ^ (x >> UINT(16))
+    return x
+
+
+def cheap_next(state: jnp.ndarray):
+    """Production generator step (config.cheap_rng) — same signature and
+    state shape as ``rng_next``, ~⅓ the arithmetic and no serial chain
+    between consecutive draws.
+
+    ``state`` is ``[key, ctr]``: ``key`` is the per-(pixel, sample) hash and
+    never changes; ``ctr`` walks a Weyl sequence (golden-ratio gamma), and
+    each output word is ``fmix32(key ^ ctr)`` — a keyed SplitMix32.  Draw k
+    and draw k+1 differ only in the counter, so speculative lookahead draws
+    are data-parallel instead of chained through the xoroshiro update.
+
+    NOT draw-for-draw the reference's generator (use the default parity
+    generator for oracle/golden validation); streams are still keyed by
+    (pixel, sample), so determinism, pool/sharding invariance, and
+    checkpoint resume behave identically.
+    """
+    key = state[..., 0]
+    ctr = state[..., 1]
+    raw = fmix32(key ^ ctr)
+    return jnp.stack([key, ctr + UINT(0x9E3779B9)], axis=-1), raw
+
+
+def cheap_init(pixel_x: jnp.ndarray, pixel_y: jnp.ndarray,
+               sample_idx) -> jnp.ndarray:
+    """Seed ``cheap_next`` streams from (pixel, sample).
+
+    ``key = hash(px<<16|py)`` (a bijection — unique per pixel) and the
+    counter starts at ``hash(sample)`` (unique per sample index), so two
+    samples of one pixel run disjoint counter windows except for the
+    ~draws/2³² chance of Weyl-sequence overlap — negligible correlation for
+    Monte-Carlo accumulation, and zero bias either way (each sample's draws
+    remain uniform).
+    """
+    px = jnp.asarray(pixel_x, UINT)
+    py = jnp.asarray(pixel_y, UINT)
+    fi = jnp.broadcast_to(jnp.asarray(sample_idx, UINT), px.shape)
+    return jnp.stack([hash_u32((px << UINT(16)) | py), hash_u32(fi)],
+                     axis=-1)
+
+
 def bits_to_float(raw: jnp.ndarray) -> jnp.ndarray:
     """Raw u32 → uniform [0, 1) via the float bit trick (src/sampler.h:24-28):
     exponent bits of 1.0f, top 23 random bits as mantissa, minus 1."""

@@ -206,12 +206,6 @@ def _w(mask, a, b):
     return jnp.where(m, a, b)
 
 
-def _draw(state_rng, mask):
-    """Advance RNG only for masked lanes; returns (rng', u)."""
-    nxt, u = rngmod.next_float(state_rng)
-    return _w(mask, nxt, state_rng), u
-
-
 def _hyperion(num_scatters, g0, density):
     """Disney-Hyperion reduced scattering (kernel.cu:2039-2043)."""
     s = jnp.clip((num_scatters.astype(jnp.float32) - 5.0)
@@ -276,7 +270,31 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
     if ref_march and use_mis:
         raise ValueError("reference_march parity covers the reference's "
                          "active configuration (PASSIVE_ENVMAP=1) only")
+    if ref_march and settings.cheap_rng:
+        raise ValueError("reference_march is the draw-for-draw parity mode; "
+                         "cheap_rng replaces the reference generator — "
+                         "pick one")
     npix = width * height
+
+    # RNG primitives: the reference-parity hash+xoroshiro generator, or the
+    # opt-in production counter generator (config.cheap_rng).  Both keep
+    # streams (pixel, sample)-keyed; all consumption masks/ordering below
+    # are generator-agnostic.
+    if settings.cheap_rng:
+        rng_next_f = rngmod.cheap_next
+        rng_init_f = rngmod.cheap_init
+    else:
+        rng_next_f = rngmod.rng_next
+        rng_init_f = rngmod.init
+
+    def _next_float(state):
+        state, raw = rng_next_f(state)
+        return state, rngmod.bits_to_float(raw)
+
+    def _draw(state_rng, mask):
+        """Advance RNG only for masked lanes; returns (rng', u)."""
+        nxt, u = _next_float(state_rng)
+        return _w(mask, nxt, state_rng), u
 
     def mono_scene(scene: Scene) -> Scene:
         """SpectralMode.MONO ignores Param.sigma_t and runs an achromatic
@@ -293,14 +311,14 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         and the initial throughput (shared by queue spawn and in-item
         re-arm so multi-sample items are draw-for-draw identical to
         one-sample items)."""
-        new_rng = rngmod.init(px, py, sample)
+        new_rng = rng_init_f(px, py, sample)
         if settings.spectral == SpectralMode.MULTI_CHANNEL:
             # one wavelength per sample: channel = min((1-u)*3, 2.9999998)
             # drawn right after rng init; the sample writes channel ch
             # scaled by 3 (kernel.cu:1319-1321, 1583-1586) — expressed here
             # as a one-hot ×3 initial throughput through the same spectral
             # machinery (identical expectation, max-σt majorant).
-            new_rng, u = rngmod.next_float(new_rng)
+            new_rng, u = _next_float(new_rng)
             ch = jnp.minimum((1.0 - u) * 3.0,
                              jnp.float32(2.9999998)).astype(jnp.int32)
             tp = jax.nn.one_hot(ch, 3, dtype=jnp.float32) * 3.0
@@ -415,8 +433,8 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         """HG direction sampling + depth check (kernel.cu:2300-2304; loop
         condition :2015).  Also exits shadow mode.  Both draws share one
         mask, so the RNG state commits once (two-step lookahead)."""
-        rs1, raw0 = rngmod.rng_next(st.rng)
-        rs2, raw1 = rngmod.rng_next(rs1)
+        rs1, raw0 = rng_next_f(st.rng)
+        rs2, raw1 = rng_next_f(rs1)
         u0 = rngmod.bits_to_float(raw0)
         u1 = rngmod.bits_to_float(raw1)
         new_d = phasemod.hg_sample(st.g_cur, st.d, u0, u1)
@@ -804,8 +822,8 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         # a single masked update instead of three — state streaming
         # dominates; the extra rng_next is cheap VPU work.  Per-lane draw
         # sequences are bit-identical to sequential masked draws.
-        rs1, raw1 = rngmod.rng_next(st.rng)
-        rs2, raw2 = rngmod.rng_next(rs1)
+        rs1, raw1 = rng_next_f(st.rng)
+        rs2, raw2 = rng_next_f(rs1)
         u = rngmod.bits_to_float(raw1)
         u2 = rngmod.bits_to_float(raw2)
 
@@ -1107,8 +1125,8 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
             s(done & (st.pixel >= 0) & (st.num_scatters < 0)),
             s(done & (st.pixel < 0))])
 
-    def launch_body(scene: Scene, cam: cammod.Camera, st: PathState,
-                    film: filmmod.Film, order=None):
+    def unrolled_launch_body(scene: Scene, cam: cammod.Camera,
+                             st: PathState, film: filmmod.Film, order=None):
         scene = mono_scene(scene)
         st = _pack(st)
         # Python-unrolled (not fori_loop) — see module docstring.
@@ -1140,6 +1158,60 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         if settings.instrument:
             return _unpack(st), film, jnp.stack(stats)
         return _unpack(st), film
+
+    def scan_launch_body(scene: Scene, cam: cammod.Camera, st: PathState,
+                         film: filmmod.Film, order=None):
+        """``config.use_scan``: the same launch rolled into ``lax.scan``
+        over blocks of ``spawn_every`` micro-steps, so the compiled graph
+        is one block long regardless of ``steps_per_launch``.  The flush
+        cadence becomes a ``lax.cond`` on the block counter; the op
+        sequence (and with ``spawn_every % rearm_every == 0``, the exact
+        unrolled schedule) is unchanged, and cadence cannot change results
+        anyway — films match the unrolled launch to ~1 ulp (the scanned
+        block is a separate compiled artifact, so XLA's fusion/fma
+        rounding can differ; tests/test_scan.py)."""
+        scene = mono_scene(scene)
+        st = _pack(st)
+        rearm = min(settings.rearm_every, settings.spawn_every)
+        fused = make_fused_table(scene) if settings.unified_march else None
+        n_blocks = settings.steps_per_launch // settings.spawn_every
+
+        def hk_flush(stf):
+            return housekeeping(scene, cam, stf[0], stf[1], flush=True,
+                                order=order)
+
+        def hk_fold(stf):
+            return housekeeping(scene, cam, stf[0], stf[1], flush=False,
+                                order=order)
+
+        def block(carry, b):
+            st, film = carry
+            st, film = jax.lax.cond(b % settings.flush_every == 0,
+                                    hk_flush, hk_fold, (st, film))
+            for i in range(settings.spawn_every):
+                if i > 0 and i % rearm == 0:
+                    st = _pack(fold_and_rearm(scene, cam, st))
+                st = step_inner(scene, st, fused)
+            return (st, film), None
+
+        (st, film), _ = jax.lax.scan(block, (st, film),
+                                     jnp.arange(n_blocks, dtype=jnp.int32))
+        st, film = housekeeping(scene, cam, st, film, flush=True,
+                                order=order)
+        return _unpack(st), film
+
+    if settings.use_scan:
+        if settings.instrument:
+            raise ValueError("config.instrument needs the unrolled launch "
+                             "(per-step stats rows); disable use_scan")
+        if settings.steps_per_launch % settings.spawn_every != 0:
+            raise ValueError(
+                f"use_scan needs steps_per_launch "
+                f"({settings.steps_per_launch}) to be a multiple of "
+                f"spawn_every ({settings.spawn_every})")
+        launch_body = scan_launch_body
+    else:
+        launch_body = unrolled_launch_body
 
     launch = functools.partial(jax.jit, donate_argnums=(2, 3))(launch_body)
     if with_body:

@@ -41,3 +41,22 @@ def test_binary_volume_roundtrip(tmp_path, rng_np):
     volume_io.write_binary(p, vol)
     back = volume_io.read_binary(p)
     np.testing.assert_array_equal(back, vol)
+
+
+def test_png_writer_valid(tmp_path, rng_np):
+    """Our from-scratch PNG decodes byte-exactly in an independent reader
+    (PIL) when available; always checks the chunk structure."""
+    from cuda_volpath_tpu.io.png import write_png
+    img = (rng_np.random((13, 17, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    blob = open(p, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in blob[:33] and blob.endswith(
+        b"IEND" + blob[-4:])
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    back = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(back, img)

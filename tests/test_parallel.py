@@ -33,6 +33,35 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_production_shape():
+    """The flagship execution configuration — DECOMP + packed opacity +
+    samples_per_item=8 + multi-block launch — compiles and drains over the
+    8-device mesh via the scan-rolled launch (config.use_scan; the
+    unrolled variant explodes the XLA-CPU compiler under shard_map,
+    BENCH.md) and matches the 1-device render.  CI face of
+    ``__graft_entry__.dryrun_multichip``'s production-shaped gate."""
+    from cuda_volpath_tpu.render.scene import pack_density_opacity
+    from cuda_volpath_tpu.volume import opacity as opacitymod
+
+    scene, cam, _ = scenes.gaussian_blob(32, Param(density=60.0, g=0.6))
+    od = np.asarray(opacitymod.bake(scene.density,
+                                    np.asarray(scene.sun_dir), dt=0.01))
+    scene = pack_density_opacity(scene, od)
+    assert scene.packed is not None and float(scene.od_scale) > 0.0
+    prod = RenderSettings(steps_per_launch=24, samples_per_item=8,
+                          use_scan=True)
+    assert prod.precompute_opacity and prod.tracker.value == "decomp"
+    w = h = 16
+    spp = 8
+    f8 = shard.render_sharded(scene, cam, prod, w, h, spp,
+                              mesh=shard.make_mesh(8), pool_per_device=128)
+    assert np.asarray(filmmod.spp(f8)).min() == spp
+    f1 = integrator.render(scene, cam, prod, w, h, spp, pool=1024)
+    np.testing.assert_allclose(np.asarray(filmmod.image(f1)),
+                               np.asarray(filmmod.image(f8)),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_device_count_invariance():
     scene, cam, _ = scenes.gaussian_blob(16, Param(density=10.0, g=0.4))
     settings = RenderSettings(precompute_opacity=False, steps_per_launch=4)
