@@ -13,11 +13,13 @@ never recompiles — the TPU analog of the reference's per-frame
 Keys (reference keyboard/motion handlers, volumeRender.cpp:674-874):
 
   h/j/k/l or arrows  orbit            +/-   density
+  H/J/K/L            pan (right-drag, volumeRender.cpp:799-804)
   i/o                zoom             [/]   brightness
   space              cycle material   x/z   albedo up/down
   r                  random material  a/s   HG anisotropy g
   n                  denoise toggle   c     capture output{N}.ppm/.hdr
-  f                  filter toggle (point/linear; first use compiles)
+  f                  filter toggle (point/linear; both graphs pre-warmed
+                     at startup — pass --no-prewarm to compile lazily)
   q                  quit
 
 Run: python -m cuda_volpath_tpu.apps.view --scene blob --size 192x104
@@ -62,6 +64,9 @@ def main(argv=None) -> int:
     ap.add_argument("--pool", type=int, default=None)
     ap.add_argument("--steps-per-launch", type=int, default=32)
     ap.add_argument("--density", type=float, default=None)
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="skip pre-compiling the alternate filter graph at "
+                         "startup ('f' then compiles on first press)")
     args = ap.parse_args(argv)
 
     from ..runtime import configure_jax
@@ -127,6 +132,14 @@ def main(argv=None) -> int:
     print("compiling…", file=sys.stderr)
     st, film = fresh()
     st, film = launch(scene, cam, st, film)
+    if not args.no_prewarm:
+        # pre-warm the 'f'-toggle graph so the first keypress costs a
+        # launch, not a compile (persistently cached — near-instant on
+        # every later run at this resolution)
+        for fm in FilterMode:
+            if fm != filter_mode:
+                wst, wfilm = fresh()
+                get_launch(fm)(scene, cam, wst, wfilm)
     denoise_on = False
     preset = -1
     capture_idx = 0
@@ -170,6 +183,11 @@ def main(argv=None) -> int:
                     dx = {"h": -40.0, "l": 40.0}.get(ch, 0.0)
                     dy = {"j": 40.0, "k": -40.0}.get(ch, 0.0)
                     cam = cammod.orbit(cam, dx, dy)
+                    reset = True
+                elif ch in "HJKL":  # pan (the reference's right-drag)
+                    dx = {"H": -40.0, "L": 40.0}.get(ch, 0.0)
+                    dy = {"J": 40.0, "K": -40.0}.get(ch, 0.0)
+                    cam = cammod.pan(cam, dx, dy)
                     reset = True
                 elif ch == "i":
                     cam = cammod.zoom(cam, -0.2)

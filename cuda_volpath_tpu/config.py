@@ -247,19 +247,22 @@ class RenderSettings:
     instrument: bool = False
     # Roll the launch into ``lax.scan`` over blocks of ``spawn_every``
     # micro-steps (the housekeeping period) instead of Python-unrolling
-    # ``steps_per_launch`` micro-steps into one flat graph.  Identical
-    # draw sequences and op order (the flush cadence becomes a
+    # ``steps_per_launch`` micro-steps into one flat graph; a non-multiple
+    # remainder is unrolled after the scan with the identical cadence.
+    # Identical draw sequences and op order (the flush cadence becomes a
     # ``lax.cond`` on the block counter; films match to ~1 ulp of
-    # compiled-fusion rounding, tests/test_scan.py); the graph is one block long,
-    # which tames XLA's superlinear compile cost — the unrolled 128-step
-    # graph takes ~11 min to compile on the remote TPU and the shard_map'd
-    # variant exhausts XLA-CPU entirely (>54 GB RSS, BENCH.md), while the
-    # scanned block compiles in seconds-to-minutes everywhere, making the
+    # compiled-fusion rounding, tests/test_scan.py); the graph is one
+    # block long, which tames XLA's superlinear compile cost — the
+    # unrolled 128-step graph takes ~11 min to compile on the remote TPU
+    # and the shard_map'd variant exhausts XLA-CPU entirely (>54 GB RSS,
+    # BENCH.md), while the scanned block compiles in ~90 s, making the
     # *production-shaped* multi-chip graph compilable on a virtual mesh
-    # (__graft_entry__.dryrun_multichip).  Requires steps_per_launch to be
-    # a multiple of spawn_every.  Throughput vs the unrolled launch is
-    # measured on-chip in BENCH.md ("Scan launch A/B").
-    use_scan: bool = False
+    # (__graft_entry__.dryrun_multichip).  Measured on v5e at the
+    # flagship defaults: 667k vs 657k samples/s — at least neutral, so
+    # the DEFAULT since round 3 (BENCH.md "Scan launch A/B").  Launches
+    # shorter than one block, and instrumented launches, automatically
+    # use the unrolled body (identical graphs to use_scan=False).
+    use_scan: bool = True
     # Production RNG (ops.rng.cheap_next): a keyed-SplitMix32 counter
     # generator instead of the reference-parity hash+xoroshiro stream —
     # ~⅓ the per-draw arithmetic and no serial dependency between the

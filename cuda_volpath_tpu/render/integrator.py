@@ -1163,18 +1163,24 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
                          film: filmmod.Film, order=None):
         """``config.use_scan``: the same launch rolled into ``lax.scan``
         over blocks of ``spawn_every`` micro-steps, so the compiled graph
-        is one block long regardless of ``steps_per_launch``.  The flush
-        cadence becomes a ``lax.cond`` on the block counter; the op
-        sequence (and with ``spawn_every % rearm_every == 0``, the exact
-        unrolled schedule) is unchanged, and cadence cannot change results
-        anyway — films match the unrolled launch to ~1 ulp (the scanned
-        block is a separate compiled artifact, so XLA's fusion/fma
-        rounding can differ; tests/test_scan.py)."""
+        is one block long (plus the unrolled sub-block remainder when
+        ``steps_per_launch`` is not a multiple) regardless of
+        ``steps_per_launch``.  The flush cadence becomes a ``lax.cond``
+        on the block counter; the op sequence per micro-step (and with
+        ``spawn_every % rearm_every == 0``, the exact unrolled schedule)
+        is unchanged, and cadence cannot change results anyway — films
+        match the unrolled launch to ~1 ulp (the scanned block is a
+        separate compiled artifact, so XLA's fusion/fma rounding can
+        differ; tests/test_scan.py).  Measured on v5e at the flagship
+        defaults: 667k vs 657k samples/s (≥ the unrolled launch) with
+        ~7× faster cold compiles (~90 s vs ~11 min) — see BENCH.md
+        "Scan launch A/B"."""
         scene = mono_scene(scene)
         st = _pack(st)
         rearm = min(settings.rearm_every, settings.spawn_every)
         fused = make_fused_table(scene) if settings.unified_march else None
         n_blocks = settings.steps_per_launch // settings.spawn_every
+        remainder = settings.steps_per_launch % settings.spawn_every
 
         def hk_flush(stf):
             return housekeeping(scene, cam, stf[0], stf[1], flush=True,
@@ -1196,19 +1202,27 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
 
         (st, film), _ = jax.lax.scan(block, (st, film),
                                      jnp.arange(n_blocks, dtype=jnp.int32))
+        # unrolled remainder, continuing the exact unrolled-launch cadence
+        # (global step index i = n_blocks*spawn_every + j)
+        for j in range(remainder):
+            if j == 0:
+                st, film = housekeeping(
+                    scene, cam, st, film,
+                    flush=(n_blocks % settings.flush_every == 0),
+                    order=order)
+            elif j % rearm == 0:
+                st = _pack(fold_and_rearm(scene, cam, st))
+            st = step_inner(scene, st, fused)
         st, film = housekeeping(scene, cam, st, film, flush=True,
                                 order=order)
         return _unpack(st), film
 
-    if settings.use_scan:
-        if settings.instrument:
-            raise ValueError("config.instrument needs the unrolled launch "
-                             "(per-step stats rows); disable use_scan")
-        if settings.steps_per_launch % settings.spawn_every != 0:
-            raise ValueError(
-                f"use_scan needs steps_per_launch "
-                f"({settings.steps_per_launch}) to be a multiple of "
-                f"spawn_every ({settings.spawn_every})")
+    # instrument needs per-step stats rows → always the unrolled launch;
+    # launches shorter than one block have nothing to scan — delegating to
+    # the unrolled body keeps their jaxprs (and compile caches) identical
+    # to the pre-scan graphs.
+    if settings.use_scan and not settings.instrument \
+            and settings.steps_per_launch >= settings.spawn_every:
         launch_body = scan_launch_body
     else:
         launch_body = unrolled_launch_body

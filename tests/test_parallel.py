@@ -48,7 +48,10 @@ def test_sharded_production_shape():
                                     np.asarray(scene.sun_dir), dt=0.01))
     scene = pack_density_opacity(scene, od)
     assert scene.packed is not None and float(scene.od_scale) > 0.0
-    prod = RenderSettings(steps_per_launch=24, samples_per_item=8,
+    # 120 steps = 10 scan blocks — the production launch length; scan
+    # compile cost is per-block, so this costs the same as a short launch
+    # and shares its cached graphs with __graft_entry__.dryrun_multichip
+    prod = RenderSettings(steps_per_launch=120, samples_per_item=8,
                           use_scan=True)
     assert prod.precompute_opacity and prod.tracker.value == "decomp"
     w = h = 16

@@ -43,7 +43,8 @@ def test_scan_launch_matches_unrolled():
     base = RenderSettings(precompute_opacity=False, steps_per_launch=8,
                           spawn_every=4, rearm_every=2, flush_every=2,
                           samples_per_item=2)
-    f_unroll = integrator.render(scene, cam, base, 8, 8, 8, pool=512)
+    f_unroll = integrator.render(scene, cam, base.replace(use_scan=False),
+                                 8, 8, 8, pool=512)
     f_scan = integrator.render(scene, cam, base.replace(use_scan=True),
                                8, 8, 8, pool=512)
     np.testing.assert_allclose(np.asarray(f_unroll.data),
@@ -51,8 +52,39 @@ def test_scan_launch_matches_unrolled():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_scan_validates_cadence():
-    with pytest.raises(ValueError, match="multiple of"):
-        integrator.make_step_fn(
-            RenderSettings(use_scan=True, steps_per_launch=10,
-                           spawn_every=4), 8, 8)
+def test_scan_remainder_matches_unrolled():
+    """steps_per_launch not a multiple of spawn_every: the scan launch
+    unrolls the remainder sub-block with the identical cadence."""
+    scene = _scene()
+    cam = cammod.make_camera()
+    base = RenderSettings(precompute_opacity=False, steps_per_launch=10,
+                          spawn_every=4, rearm_every=2, flush_every=2,
+                          samples_per_item=2)
+    f_unroll = integrator.render(scene, cam, base.replace(use_scan=False),
+                                 8, 8, 8, pool=512)
+    f_scan = integrator.render(scene, cam, base, 8, 8, 8, pool=512)
+    np.testing.assert_allclose(np.asarray(f_unroll.data),
+                               np.asarray(f_scan.data),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_short_launch_uses_unrolled_graph():
+    """steps_per_launch < spawn_every delegates to the unrolled body —
+    tiny test graphs keep their pre-scan jaxprs (and compile caches)."""
+    a = RenderSettings(steps_per_launch=4)           # use_scan default True
+    b = RenderSettings(steps_per_launch=4, use_scan=False)
+    sa, la = integrator.make_step_fn(a, 8, 8)
+    import jax
+    import jax.numpy as jnp
+    from cuda_volpath_tpu.render import film as filmmod
+    from cuda_volpath_tpu.render.scene import make_scene, \
+        materials_from_param
+    from cuda_volpath_tpu.config import Param
+    scene = make_scene(np.ones((8, 8, 8), np.float32),
+                       materials_from_param(Param(density=5.0)))
+    st = integrator.init_state(64)
+    film = filmmod.make_film(8, 8)
+    sb, lb = integrator.make_step_fn(b, 8, 8)
+    ja = la.lower(scene, cammod.make_camera(), st, film).as_text()
+    jb = lb.lower(scene, cammod.make_camera(), st, film).as_text()
+    assert ja == jb

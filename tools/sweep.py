@@ -62,8 +62,9 @@ def main() -> int:
         over = dict(raw)
         opacity = bool(over.pop("_opacity", 0))
         pool = int(over.pop("_pool", args.pool))
-        settings = RenderSettings(steps_per_launch=args.steps,
-                                  precompute_opacity=opacity, **over)
+        settings = RenderSettings(**{"steps_per_launch": args.steps,
+                                     "precompute_opacity": opacity,
+                                     **over})
         # precompute_opacity=False never reads the od channels, so the
         # opacity-baked scene serves both kinds of config unchanged
         sc = scene
