@@ -36,7 +36,11 @@ def main():
     # phase noise; ~9 cycles brings it under ±2% (see BENCH.md).
     seconds = float(os.environ.get("BENCH_SECONDS", "120"))
     pool = int(os.environ.get("BENCH_POOL", str(1 << 20)))
-    steps = int(os.environ.get("BENCH_STEPS", "128"))  # bigger launches: fewer tunnel pulls (+5% measured)
+    # 120 = 10 scan blocks at the default spawn_every=12 (config.use_scan):
+    # the launch graph is one block long, compiles in ~90 s cold, and
+    # measured 667k vs the unrolled 128-step graph's 657k samples/s
+    # (BENCH.md "Scan launch A/B").  Big launches keep tunnel pulls rare.
+    steps = int(os.environ.get("BENCH_STEPS", "120"))
     # BENCH_SCENE=cloud benches the dense-cloud scene (WDAS content class)
     scene_name = os.environ.get("BENCH_SCENE", "flagship")
 

@@ -123,8 +123,10 @@ def main():
                             args.steps, opacity=bool(args.opacity),
                             n=args.n, pool=args.pool)
     means, sem = tile_stats(film, width, height)
+    # film row 0 is the bottom scanline (+y up): flip for display like
+    # the reference's dump (src/image.cpp dump_ppm flipped-Y) and io/ppm.py
     img = np.asarray(postprocess.gamma_correct(
-        np.asarray(filmmod.image(film))))
+        np.asarray(filmmod.image(film))))[::-1]
     heat = float(np.asarray(filmmod.heat(film)).mean())
     np.savez_compressed(
         args.out + ".npz", tile_means=means, tile_sem=sem,
