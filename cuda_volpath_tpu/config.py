@@ -231,6 +231,22 @@ class RenderSettings:
     # 605k/612k samples/s — the occupancy decomposition's 9.6% fold_wait
     # was the predicted lever and 4 collects most of it.
     rearm_every: int = 4
+    # Eager fold/re-arm: a lane whose sample completes re-arms the item's
+    # next sample *inside the micro-step* (once per step, after the last
+    # march pass) instead of idling until the next fold/re-arm pass —
+    # killing the measured 8.1 fold-wait steps/sample (BENCH.md occupancy
+    # table) without paying that pass's pool-wide envmap gather every
+    # step: an escaped sample's background shade is *banked* into pending
+    # registers (direction, throughput, radiance-so-far, scatter count)
+    # and resolved by the next batched fold pass's single envmap gather.
+    # One pending slot per lane; a lane whose slot is occupied simply
+    # waits for the next fold pass (pre-eager behavior), which also keeps
+    # each lane's film-row accumulation in exact sample order, so films
+    # stay bit-identical across pool sizes and cadences.  Zero extra
+    # gathers; ~10 masked VPU ops + 10 extra state words per lane-step.
+    # PASSIVE envmap only (under MIS the scatter/NEE chain stays batched,
+    # like scatter_inline).  Swept on v5e (see BENCH.md round 4).
+    eager_rearm: bool = True
     # Store the radiometric lane registers (throughput, radiance, sh_tr,
     # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
     # steps materialize every state leaf to HBM (gathers break fusion), so

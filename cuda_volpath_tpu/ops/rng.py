@@ -105,18 +105,22 @@ def cheap_init(pixel_x: jnp.ndarray, pixel_y: jnp.ndarray,
                sample_idx) -> jnp.ndarray:
     """Seed ``cheap_next`` streams from (pixel, sample).
 
-    ``key = hash(px<<16|py)`` (a bijection — unique per pixel) and the
-    counter starts at ``hash(sample)`` (unique per sample index), so two
-    samples of one pixel run disjoint counter windows except for the
-    ~draws/2³² chance of Weyl-sequence overlap — negligible correlation for
-    Monte-Carlo accumulation, and zero bias either way (each sample's draws
-    remain uniform).
+    Each (pixel, sample) pair gets its **own key** —
+    ``key = fmix32(hash(px<<16|py) ^ hash(sample))`` — and the counter
+    starts at 0, so two samples of one pixel are independent keyed
+    SplitMix32 streams, not windows of one shared Weyl orbit.  (An earlier
+    design shared the pixel key and offset the counter by ``hash(sample)``;
+    with S samples × D draws per pixel the expected number of overlapping
+    window pairs grows as S²·D/2³² — quadratic in spp — which locally
+    correlates samples at accumulation-scale spp.  Per-pair key collisions
+    are the only residual overlap here: probability S²/2³³ per pixel,
+    sample-length-independent, and still unbiased either way.)
     """
     px = jnp.asarray(pixel_x, UINT)
     py = jnp.asarray(pixel_y, UINT)
     fi = jnp.broadcast_to(jnp.asarray(sample_idx, UINT), px.shape)
-    return jnp.stack([hash_u32((px << UINT(16)) | py), hash_u32(fi)],
-                     axis=-1)
+    key = fmix32(hash_u32((px << UINT(16)) | py) ^ hash_u32(fi))
+    return jnp.stack([key, jnp.zeros_like(key)], axis=-1)
 
 
 def bits_to_float(raw: jnp.ndarray) -> jnp.ndarray:

@@ -109,6 +109,15 @@ def render_sharded(scene: Scene, cam: cammod.Camera,
     st = init_sharded_state(pool_per_device, n_dev, total, spp,
                             samples_per_item=settings.samples_per_item)
     fdata = jnp.zeros((n_dev, npix + 1, 8), jnp.float32)
+    # Lay the initial state/film out with the launch's own sharding BEFORE
+    # the first call: otherwise call 1 (unsharded init arrays) and call 2
+    # (the sharded donated outputs) present different input layouts and
+    # XLA compiles the whole launch TWICE (measured: two back-to-back
+    # ~8 min compiles of the production-shaped graph on the 1-core
+    # XLA-CPU host — half of round 3's multichip-gate timeout).
+    dev_sh = jax.sharding.NamedSharding(mesh, P(mesh.axis_names[0]))
+    st = jax.tree.map(lambda x: jax.device_put(x, dev_sh), st)
+    fdata = jax.device_put(fdata, dev_sh)
 
     launches = 0
     while True:

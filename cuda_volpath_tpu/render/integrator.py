@@ -157,6 +157,17 @@ class PathState:
     # MIS registers (EnvmapMode.MIS only; dead pass-throughs otherwise)
     shadow_dir: jnp.ndarray   # (N,3) current shadow-march direction
     env_stage: jnp.ndarray    # (N,) bool — the envmap NEE is in flight/done
+    # pending banked escape (config.eager_rearm): when a sample completes
+    # by escaping, the lane re-arms its next sample immediately and owes
+    # the film row for the *banked* sample — the costly envmap fetch is
+    # deferred to the next batched fold pass, which shades
+    # pend_rad + bg(pend_dir)·pend_coeff and folds the row into ``acc``.
+    # ``pend_scat`` doubles as the slot flag (-1 = free) and the banked
+    # sample's heat value.
+    pend_dir: jnp.ndarray     # (N,3) escape direction
+    pend_coeff: jnp.ndarray   # (N,3) throughput at escape
+    pend_rad: jnp.ndarray     # (N,3) radiance before the background term
+    pend_scat: jnp.ndarray    # (N,) i32; -1 = no pending escape
     # per-lane film accumulator in the film's own row layout
     # (r, g, b, heat, count, r², g², b²): finished samples fold here and
     # the whole-pool film scatter-add runs once per work item / flush
@@ -192,6 +203,8 @@ def init_state(pool: int, samples_per_item: int = 1) -> PathState:
         g_cur=z(pool), density_prime=z(pool),
         nee_coeff=z(pool, 3), sh_tr=z(pool, 3),
         shadow_dir=z(pool, 3), env_stage=jnp.zeros((pool,), bool),
+        pend_dir=z(pool, 3), pend_coeff=z(pool, 3), pend_rad=z(pool, 3),
+        pend_scat=jnp.full((pool,), -1, jnp.int32),
         acc=z(pool, 8),
         item_end=zi(pool),
         next_item=zi(1), total_items=zi(1),
@@ -371,36 +384,22 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
                        else st.env_stage),
             next_item=st.next_item + n_spawned)
 
-    def fold_and_rearm(scene: Scene, cam: cammod.Camera,
-                       st: PathState) -> PathState:
-        """Shade escapes and fold finished samples into the lane
-        accumulator (kernel.cu:2306-2317: radiance clamped ≥0,
-        × brightness, heat = num_scatters); lanes whose item has samples
-        left re-arm the next sample of the same pixel immediately —
-        without touching the work queue or the film.  Item-complete lanes
-        park (num_scatters = -1 marks 'folded, awaiting flush')."""
-        complete = (st.status == DONE) & (st.pixel >= 0) \
-            & (st.num_scatters >= 0)
-        # deferred escape shading (kernel.cu:2024-2032) — the envmap gather
-        # runs here, at housekeeping cadence, not every micro-step
-        bg = sunmod.background(scene.envmap.image, st.d, st.num_scatters,
-                               scene.sun_dir, scene.sun_power_original,
-                               settings.sun_light)
-        if use_mis:
-            # under MIS escapes only contribute at depth 0
-            # (the #else branch of kernel.cu:2026-2031)
-            bg = _w(st.num_scatters == 0, bg, jnp.zeros_like(bg))
-        radiance = _w(complete & st.esc, st.radiance + bg * st.throughput,
-                      st.radiance)
-        rgb = jnp.maximum(radiance, 0.0) * scene.mat.brightness
+    def _fold_row(radiance, num_scatters, brightness):
+        """One film row from a finished sample (kernel.cu:2306-2317:
+        radiance clamped >=0, x brightness, heat = num_scatters)."""
+        rgb = jnp.maximum(radiance, 0.0) * brightness
         one = jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)
-        row = jnp.concatenate(
-            [rgb, st.num_scatters.astype(jnp.float32)[:, None], one,
+        return jnp.concatenate(
+            [rgb, num_scatters.astype(jnp.float32)[:, None], one,
              rgb * rgb], axis=-1)
-        acc = _w(complete, st.acc + row, st.acc)
 
+    def _rearm(cam: cammod.Camera, st: PathState, consumed) -> PathState:
+        """Lanes whose sample was just consumed (folded or banked) re-arm
+        the item's next sample immediately -- without touching the work
+        queue or the film; item-complete lanes park (num_scatters = -1
+        marks 'awaiting flush')."""
         next_sample = st.sample + 1
-        more = complete \
+        more = consumed \
             & (next_sample < st.item_end) \
             & (next_sample < st.spp_limit[0])
         px = st.pixel % width
@@ -408,24 +407,110 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         new_rng, tp = _sample_regs(px, py, next_sample, st.throughput)
         o, d = cammod.generate_rays(cam, width, height, px, py)
         return st.replace(
-            acc=acc,
             o=_w(more, o, st.o), d=_w(more, d, st.d),
             throughput=_w(more, tp, st.throughput),
             radiance=_w(more, jnp.zeros_like(st.radiance), st.radiance),
             rng=_w(more, new_rng, st.rng),
             sample=jnp.where(more, next_sample, st.sample),
             num_scatters=jnp.where(
-                more, 0, jnp.where(complete, -1, st.num_scatters)),
+                more, 0, jnp.where(consumed, -1, st.num_scatters)),
             status=jnp.where(more, NEW_SEGMENT, st.status),
             shadow=jnp.where(more, False, st.shadow),
-            esc=jnp.where(more, False, st.esc),
+            esc=jnp.where(consumed, False, st.esc),
             env_stage=(jnp.where(more, False, st.env_stage) if use_mis
                        else st.env_stage))
+
+    def fold_and_rearm(scene: Scene, cam: cammod.Camera,
+                       st: PathState) -> PathState:
+        """The batched fold pass: shade escapes (the deferred envmap
+        gather, kernel.cu:2024-2032, at fold cadence instead of every
+        micro-step), fold finished samples into the lane accumulator, and
+        re-arm/park via ``_rearm``.  With ``eager_rearm`` the same single
+        gather also *resolves* banked pending escapes
+        (``PathState.pend_*``) -- those lanes already re-armed inside a
+        micro-step and only owe the film row."""
+        complete = (st.status == DONE) & (st.pixel >= 0) \
+            & (st.num_scatters >= 0)
+        if eager:
+            pend = st.pend_scat >= 0
+            dir_sel = _w(pend, st.pend_dir, st.d)
+            scat_sel = jnp.where(pend, st.pend_scat, st.num_scatters)
+            bg = sunmod.background(scene.envmap.image, dir_sel, scat_sel,
+                                   scene.sun_dir, scene.sun_power_original,
+                                   settings.sun_light)
+            prad = st.pend_rad + bg * st.pend_coeff
+            acc = _w(pend,
+                     st.acc + _fold_row(prad, st.pend_scat,
+                                        scene.mat.brightness),
+                     st.acc)
+            st = st.replace(acc=acc,
+                            pend_scat=jnp.where(pend, -1, st.pend_scat))
+            # A lane whose slot was occupied keeps its *current* complete
+            # sample unfolded this pass (the next eager pass banks it) --
+            # each lane's film rows accumulate in exact sample order, so
+            # films stay bit-identical across pool sizes and cadences.
+            complete = complete & ~pend
+        else:
+            bg = sunmod.background(scene.envmap.image, st.d,
+                                   st.num_scatters, scene.sun_dir,
+                                   scene.sun_power_original,
+                                   settings.sun_light)
+        if use_mis:
+            # under MIS escapes only contribute at depth 0
+            # (the #else branch of kernel.cu:2026-2031)
+            bg = _w(st.num_scatters == 0, bg, jnp.zeros_like(bg))
+        radiance = _w(complete & st.esc, st.radiance + bg * st.throughput,
+                      st.radiance)
+        acc = _w(complete,
+                 st.acc + _fold_row(radiance, st.num_scatters,
+                                    scene.mat.brightness),
+                 st.acc)
+        return _rearm(cam, st.replace(acc=acc), complete)
+
+    def eager_fold(scene: Scene, cam: cammod.Camera,
+                   st: PathState) -> PathState:
+        """``config.eager_rearm``: the in-micro-step fold/re-arm -- no
+        gather, no film access.  A completed non-escape sample folds its
+        row immediately; a completed escape *banks* the background-
+        dependent part into the lane's pending slot (resolved by the next
+        ``fold_and_rearm``) -- either way the lane re-arms the item's
+        next sample now instead of idling until the next fold pass (the
+        measured 8.1 fold-wait steps/sample, BENCH.md occupancy table).
+        A lane whose pending slot is still occupied waits (pre-eager
+        behavior), preserving exact in-lane sample order."""
+        complete = (st.status == DONE) & (st.pixel >= 0) \
+            & (st.num_scatters >= 0) & (st.pend_scat < 0)
+        bank = complete & st.esc
+        fold_now = complete & ~st.esc
+        acc = _w(fold_now,
+                 st.acc + _fold_row(st.radiance, st.num_scatters,
+                                    scene.mat.brightness),
+                 st.acc)
+        st = st.replace(
+            acc=acc,
+            pend_dir=_w(bank, st.d, st.pend_dir),
+            pend_coeff=_w(bank, st.throughput, st.pend_coeff),
+            pend_rad=_w(bank, st.radiance, st.pend_rad),
+            pend_scat=jnp.where(bank, st.num_scatters, st.pend_scat))
+        return _rearm(cam, st, complete)
 
     def flush_film(st: PathState, film: filmmod.Film):
         """The whole-pool film scatter-add (~92 ns/row on v5e — the
         costliest single op in a launch; see config.flush_every)."""
         fmask = (st.status == DONE) & (st.pixel >= 0)
+        if eager:
+            # Only flush *parked* lanes (num_scatters = -1) whose pending
+            # slot is resolved: under eager re-arm a lane can be DONE with
+            # a *complete-but-unfolded* current sample (its pending slot
+            # was occupied when it finished — fold_and_rearm resolves the
+            # slot but defers the current sample to the next eager pass).
+            # Flushing such a lane would retire the pixel with that sample
+            # still unaccumulated — a lost sample (caught by
+            # tests/test_eager.py::test_eager_thin_scene_slot_contention).
+            # Without eager this mask is provably identical to the one
+            # above: the fold pass right before every flush folds every
+            # complete lane, so DONE & pixel≥0 ⇒ parked.
+            fmask = fmask & (st.num_scatters < 0) & (st.pend_scat < 0)
         film = filmmod.add_rows(film, st.pixel, st.acc, fmask)
         return st.replace(pixel=jnp.where(fmask, -1, st.pixel)), film
 
@@ -1066,10 +1151,14 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
         scene = mono_scene(scene)
         st = _pack(st)
         st, film = housekeeping(scene, cam, st, film, order=order)
-        st = step_inner(scene, st)
+        st = step_inner(scene, cam, st)
         return _unpack(st), film
 
     scatter_inline = settings.scatter_inline and not use_mis
+    # like scatter_inline, the eager fold/re-arm path is PASSIVE-envmap
+    # only: under MIS a completing sample chains the envmap NEE, which
+    # stays batched in housekeeping
+    eager = settings.eager_rearm and not use_mis
 
     def unified_pass(scene: Scene, fused, st: PathState) -> PathState:
         """One unified march/setup pass (config.unified_march): marching
@@ -1088,7 +1177,7 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
             st = _pack(do_scatter(st, st.status == SCATTER))
         return st
 
-    def step_inner(scene: Scene, st: PathState,
+    def step_inner(scene: Scene, cam: cammod.Camera, st: PathState,
                    fused=None) -> PathState:
         if settings.unified_march:
             # marches_per_step + 1 passes ≙ the legacy pass count per
@@ -1097,15 +1186,19 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
                 fused = make_fused_table(scene)
             for _ in range(settings.marches_per_step + 1):
                 st = unified_pass(scene, fused, st)
-            return st
-        st = _pack(segment_setup(scene, st))
-        for _ in range(settings.marches_per_step):
-            st = _pack(march(scene, st))
-            if scatter_inline:
-                # immediate HG scatter: the lane re-enters NEW_SEGMENT next
-                # pass instead of idling until housekeeping (same per-lane
-                # draw sequence, just consumed earlier)
-                st = _pack(do_scatter(st, st.status == SCATTER))
+        else:
+            st = _pack(segment_setup(scene, st))
+            for _ in range(settings.marches_per_step):
+                st = _pack(march(scene, st))
+                if scatter_inline:
+                    # immediate HG scatter: the lane re-enters NEW_SEGMENT
+                    # next pass instead of idling until housekeeping (same
+                    # per-lane draw sequence, just consumed earlier)
+                    st = _pack(do_scatter(st, st.status == SCATTER))
+        if eager:
+            # once per micro-step: completed samples fold/bank and re-arm
+            # now (gather-free) instead of idling for the next fold pass
+            st = _pack(eager_fold(scene, cam, st))
         return st
 
     def _phase_counts(st: PathState) -> jnp.ndarray:
@@ -1152,7 +1245,7 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
                 st = _pack(fold_and_rearm(scene, cam, st))
             if settings.instrument:
                 stats.append(_phase_counts(st))
-            st = step_inner(scene, st, fused)
+            st = step_inner(scene, cam, st, fused)
         st, film = housekeeping(scene, cam, st, film, flush=True,
                                 order=order)
         if settings.instrument:
@@ -1197,13 +1290,18 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
             for i in range(settings.spawn_every):
                 if i > 0 and i % rearm == 0:
                     st = _pack(fold_and_rearm(scene, cam, st))
-                st = step_inner(scene, st, fused)
+                st = step_inner(scene, cam, st, fused)
             return (st, film), None
 
         (st, film), _ = jax.lax.scan(block, (st, film),
                                      jnp.arange(n_blocks, dtype=jnp.int32))
-        # unrolled remainder, continuing the exact unrolled-launch cadence
-        # (global step index i = n_blocks*spawn_every + j)
+        # Unrolled remainder.  Fold passes key off the block-local index j
+        # (j % rearm), like the scanned blocks key off theirs — when rearm
+        # divides spawn_every this IS the unrolled launch's global schedule
+        # (i = n_blocks*spawn_every + j ⇒ i % rearm == j % rearm);
+        # otherwise the fold *timing* differs from the unrolled launch
+        # while the rendered result cannot (draws are (pixel, sample)-
+        # keyed; pinned by tests/test_scan.py's non-divisible case).
         for j in range(remainder):
             if j == 0:
                 st, film = housekeeping(
@@ -1212,7 +1310,7 @@ def _make_step_fn(settings: RenderSettings, width: int, height: int,
                     order=order)
             elif j % rearm == 0:
                 st = _pack(fold_and_rearm(scene, cam, st))
-            st = step_inner(scene, st, fused)
+            st = step_inner(scene, cam, st, fused)
         st, film = housekeeping(scene, cam, st, film, flush=True,
                                 order=order)
         return _unpack(st), film
@@ -1247,7 +1345,12 @@ def compact_state(st: PathState, new_pool: int) -> PathState:
     hundred seconds across a full drain ladder on real (incompressible)
     state, which dominated finite-render drain time (BENCH.md).
     """
-    dead = st.status == DONE
+    # A lane is reclaimable only once fully retired: DONE *and* flushed
+    # (pixel < 0).  Between launches the two were equivalent before eager
+    # re-arm; with config.eager_rearm a DONE lane can still own a
+    # complete-but-unfolded sample or an unflushed accumulator row —
+    # compacting it away would lose that sample's film contribution.
+    dead = (st.status == DONE) & (st.pixel < 0)
     idx = jnp.argsort(dead, stable=True)[:new_pool]
     keep = jnp.arange(new_pool) < jnp.sum(~dead)
     fresh = init_state(new_pool)
@@ -1301,10 +1404,12 @@ def prewarm_drain(scene: Scene, cam: cammod.Camera,
     st = init_state(rungs[0])
     st, film = launch(scene, cam, st, film, None)
     for p in rungs[1:]:
-        int(jnp.sum((st.status != DONE).astype(jnp.int32)))  # live-check
+        # live-check — the exact reduction render() runs between launches
+        int(jnp.sum(((st.status != DONE)
+                     | (st.pixel >= 0)).astype(jnp.int32)))
         st = compact_state(st, p)
         st, film = launch(scene, cam, st, film, None)
-    int(jnp.sum((st.status != DONE).astype(jnp.int32)))
+    int(jnp.sum(((st.status != DONE) | (st.pixel >= 0)).astype(jnp.int32)))
     if pixel_order:
         order = jnp.arange(width * height, dtype=jnp.int32)
         st = init_state(pool)
@@ -1493,7 +1598,12 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
             # inert — drop it and reuse the cached no-order full-pool and
             # ladder graphs instead of compiling permuted drain variants
             order = None
-        live = int(jnp.sum((st.status != DONE).astype(jnp.int32)))
+        # a DONE lane still counts as live until fully retired (flushed,
+        # pixel < 0): under eager re-arm it may own a complete-but-
+        # unfolded sample or an unflushed accumulator row — matching
+        # compact_state's reclaimable-lane definition
+        live = int(jnp.sum(((st.status != DONE)
+                            | (st.pixel >= 0)).astype(jnp.int32)))
         t_live = _time.time()
         if drain_log is not None and drain_log:
             drain_log[-1] += [live, round(t_live - t_done, 2)]

@@ -21,11 +21,21 @@ _NATIVE = os.path.join(os.path.dirname(__file__), os.pardir,
 if not (os.path.exists(os.path.join(_NATIVE, "libvdb.so"))
         and os.path.exists(os.path.join(_NATIVE, "libboundgrid.so"))):
     import subprocess
+    import sys
     try:
-        subprocess.run(["make", "-C", _NATIVE], check=False, timeout=300,
-                       capture_output=True)
-    except Exception:
-        pass  # tests that need the libs will report/skip with a clear reason
+        _res = subprocess.run(["make", "-C", _NATIVE], check=False,
+                              timeout=300, capture_output=True)
+        if _res.returncode != 0:
+            # Surface the failure: a silent revert to skips is exactly the
+            # capability loss VERDICT r2 #4 flagged.
+            print(f"WARNING: native-lib build failed (rc={_res.returncode}); "
+                  "VDB/boundgrid foreign-validation tests will skip.\n"
+                  + _res.stderr.decode(errors="replace")[-2000:],
+                  file=sys.stderr)
+    except Exception as _e:  # timeout, missing make, ...
+        print(f"WARNING: native-lib build did not run ({_e!r}); "
+              "VDB/boundgrid foreign-validation tests will skip.",
+              file=sys.stderr)
 
 import jax  # noqa: E402
 
@@ -44,6 +54,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compiles a cold-cache-expensive graph on the 1-core XLA-CPU "
+        "host (e.g. the shard_map'd production-shape launch); runs by "
+        "default — deselect ad-hoc with -m 'not slow'")
 
 
 @pytest.fixture

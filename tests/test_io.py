@@ -52,8 +52,12 @@ def test_png_writer_valid(tmp_path, rng_np):
     write_png(p, img)
     blob = open(p, "rb").read()
     assert blob[:8] == b"\x89PNG\r\n\x1a\n"
-    assert b"IHDR" in blob[:33] and blob.endswith(
-        b"IEND" + blob[-4:])
+    assert b"IHDR" in blob[:33]
+    # trailing chunk: zero length + "IEND" + the CRC of the bare tag
+    import struct
+    import zlib
+    assert blob[-12:-4] == struct.pack(">I", 0) + b"IEND"
+    assert blob[-4:] == struct.pack(">I", zlib.crc32(b"IEND"))
     try:
         from PIL import Image
     except ImportError:

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cuda_volpath_tpu.config import Param, RenderSettings
 from cuda_volpath_tpu.render import camera as cammod
@@ -33,6 +34,7 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_production_shape():
     """The flagship execution configuration — DECOMP + packed opacity +
     samples_per_item=8 + multi-block launch — compiles and drains over the
@@ -48,11 +50,14 @@ def test_sharded_production_shape():
                                     np.asarray(scene.sun_dir), dt=0.01))
     scene = pack_density_opacity(scene, od)
     assert scene.packed is not None and float(scene.od_scale) > 0.0
-    # 120 steps = 10 scan blocks — the production launch length; scan
-    # compile cost is per-block, so this costs the same as a short launch
-    # and shares its cached graphs with __graft_entry__.dryrun_multichip
-    prod = RenderSettings(steps_per_launch=120, samples_per_item=8,
-                          use_scan=True)
+    # 40 steps = 10 scan blocks of spawn_every=4 — scan compile cost is
+    # per-block, and a 4-step block is what the 1-core XLA-CPU host can
+    # compile inside the driver's gate timeout (the 12-step default block
+    # took ~25 min and timed round 3's gate out); shares its cached
+    # graphs with __graft_entry__.dryrun_multichip
+    prod = RenderSettings(steps_per_launch=40, spawn_every=4,
+                          rearm_every=4, flush_every=2,
+                          samples_per_item=8, use_scan=True)
     assert prod.precompute_opacity and prod.tracker.value == "decomp"
     w = h = 16
     spp = 8

@@ -68,6 +68,25 @@ def test_scan_remainder_matches_unrolled():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_scan_nondivisible_rearm_matches_unrolled():
+    """rearm_every=3 does not divide spawn_every=4: the scanned launch's
+    fold passes fire on block-local indices, so its fold *schedule*
+    diverges from the unrolled launch's global-index schedule — the
+    rendered film must not (cadence only changes when a finished lane is
+    re-armed; draws are (pixel, sample)-keyed)."""
+    scene = _scene()
+    cam = cammod.make_camera()
+    base = RenderSettings(precompute_opacity=False, steps_per_launch=10,
+                          spawn_every=4, rearm_every=3, flush_every=2,
+                          samples_per_item=2)
+    f_unroll = integrator.render(scene, cam, base.replace(use_scan=False),
+                                 8, 8, 8, pool=512)
+    f_scan = integrator.render(scene, cam, base, 8, 8, 8, pool=512)
+    np.testing.assert_allclose(np.asarray(f_unroll.data),
+                               np.asarray(f_scan.data),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_short_launch_uses_unrolled_graph():
     """steps_per_launch < spawn_every delegates to the unrolled body —
     tiny test graphs keep their pre-scan jaxprs (and compile caches)."""
