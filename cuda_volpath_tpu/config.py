@@ -245,8 +245,15 @@ class RenderSettings:
     # stay bit-identical across pool sizes and cadences.  Zero extra
     # gathers; ~10 masked VPU ops + 10 extra state words per lane-step.
     # PASSIVE envmap only (under MIS the scatter/NEE chain stays batched,
-    # like scatter_inline).  Swept on v5e (see BENCH.md round 4).
-    eager_rearm: bool = True
+    # like scatter_inline).
+    # Measured NEUTRAL on v5e (BENCH.md round 4): at the swept fine
+    # cadence (rearm_every=4) the fold-wait it removes is already
+    # collected and the per-step masked re-arm costs what it saves (667k
+    # off vs 654k on, flagship; 947k vs 925k cloud); with the fold passes
+    # removed (rearm_every=12) it exactly breaks even (667k).  It DOES
+    # buy +8% when housekeeping must be coarse (spawn_every=24: 629k vs
+    # 583k) — kept as a tested opt-in for such regimes, default off.
+    eager_rearm: bool = False
     # Store the radiometric lane registers (throughput, radiance, sh_tr,
     # nee_coeff — 4×(N,3)) as bfloat16 between micro-steps: the unrolled
     # steps materialize every state leaf to HBM (gathers break fusion), so
