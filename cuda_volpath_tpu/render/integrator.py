@@ -1479,14 +1479,20 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     work.  The straggler drain then only ever holds the easiest pixels.
     Identical film to a plain render (RNG is (pixel, sample)-keyed).
 
-    ``tail_taper=True`` (default) renders the last 1..k samples of every
-    pixel as 1-sample work items: when the multi-sample-item queue
-    empties, every lane holds an in-flight item whose remaining work is
-    ~uniform in [0, k·steps-per-sample) — the drain tail is one full item
-    generation long regardless of pixel ordering (measured: heat-ordered
-    issue does NOT shrink it).  Issuing the final generation as k=1 items
-    cuts that tail ~k×.  Item size is a traced register (``k_queue``), so
-    the taper reuses the launch graph — zero extra compiles — and sample
+    ``tail_taper=True`` (default) renders the last ~max(k, k·pool/npix)
+    samples of every pixel as 1-sample work items: when the
+    multi-sample-item queue empties, every lane holds an in-flight item
+    whose remaining work is ~uniform in [0, k·steps-per-sample) — the
+    drain tail is one full item generation long regardless of pixel
+    ordering (measured: heat-ordered issue does NOT shrink it).  Issuing
+    the final samples as k=1 items cuts that tail ~k× — PROVIDED the
+    1-item queue phase outlasts the in-flight K-items: retiring lanes
+    consume it at ~pool items per item-duration, so a tail shorter than
+    ~k·pool/npix samples empties while K-item stragglers still march,
+    and the drain pays them anyway (measured on v5e time-to-200-spp:
+    drain 41 s at K8 with a k-sample tail vs 6.7 s at K1 — BENCH.md
+    round 4).  Item size is a traced register (``k_queue``), so the
+    taper reuses the launch graph — zero extra compiles — and sample
     values are untouched (the same (pixel, sample) set is rendered; RNG
     streams are (pixel, absolute-sample)-keyed).
 
@@ -1521,7 +1527,19 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     # otherwise, exactly the pre-taper behavior)
     taper = (tail_taper and k > 1 and spp > k
              and npix * (sample_offset + spp) <= 2**31 - 1)
-    m = ((spp - 1) // k) * k if taper else spp
+    if taper:
+        # Size the 1-item tail to OUTLAST the in-flight K-items (see the
+        # docstring): at least one item generation (k·pool/npix samples,
+        # rounded up), never less than k.  The floor-to-multiple-of-k
+        # below adds up to k more.  m = 0 (an all-1-item render) is valid
+        # for small spp; under heat_ordered phase 1 issues one full
+        # K-item per pixel, so the K-item range must keep those samples.
+        t_target = max(k, -(-(k * pool) // npix))
+        m = max(((spp - t_target) // k) * k, 0)
+        if heat_ordered:
+            m = max(m, k)
+    else:
+        m = spp
     total_main = npix * (-(-(sample_offset + m) // k))
     # queue phases applied in order whenever the current queue empties
     # (installed *under* the still-marching pool — no intermediate drain):
