@@ -1417,7 +1417,7 @@ def prewarm_drain(scene: Scene, cam: cammod.Camera,
     float(jnp.sum(film.count[:-1]))  # force (lazy tunnel backends)
 
 
-def heat_order(film: filmmod.Film):
+def heat_order(film: filmmod.Film, tile: int | None = None):
     """Work-queue pixel permutation from measured heat, hardest first.
 
     LPT-style makespan scheduling for the straggler drain: high-heat
@@ -1431,11 +1431,30 @@ def heat_order(film: filmmod.Film):
     computed on device (pulling the film through the axon tunnel costs
     tens of seconds; the permutation itself is 2 MB).
     See ``render(heat_ordered=True)`` for the drain-free two-phase use.
+
+    ``tile`` permutes whole tile×tile pixel blocks (keyed by the tile's
+    hardest pixel) and keeps raster order *within* each tile: lanes
+    spawned from one sample block then still sample neighboring voxels,
+    preserving the spawn-order gather locality the wavefront's fetch
+    throughput depends on (BENCH.md round-4 coherence probe: a locally
+    coherent index stream gathers ~17× faster than a random one; the
+    per-pixel permutation was measured to slow the whole queue phase).
     """
     h = film.data[:-1, 3]
     c = film.data[:-1, 4]
     key = jnp.where(c > 0, h / jnp.maximum(c, 1.0), jnp.inf)
-    return jnp.argsort(-key, stable=True).astype(jnp.int32)
+    if tile is None:
+        return jnp.argsort(-key, stable=True).astype(jnp.int32)
+    w, ht = film.width, film.height
+    ntx = -(-w // tile)
+    p = jnp.arange(w * ht, dtype=jnp.int32)
+    tid = (p // w // tile) * ntx + (p % w) // tile
+    tkey = jnp.full((ntx * (-(-ht // tile)),), -jnp.inf).at[tid].max(key)
+    ids = jnp.argsort(-tkey, stable=True)          # tiles, hardest first
+    trank = jnp.zeros_like(ids).at[ids].set(jnp.arange(ids.shape[0]))
+    # stable sort by tile rank alone: ties (pixels of one tile) keep
+    # their raster order
+    return jnp.argsort(trank[tid], stable=True).astype(jnp.int32)
 
 
 def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
@@ -1448,6 +1467,7 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
            stats: dict | None = None,
            pixel_order=None,
            heat_ordered: bool = False,
+           heat_tile: int | None = None,
            tail_taper: bool = True) -> filmmod.Film:
     """Render ``spp`` samples per pixel progressively; returns the film.
 
@@ -1478,6 +1498,8 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     still-marching phase-1 stragglers — no intermediate drain, no lost
     work.  The straggler drain then only ever holds the easiest pixels.
     Identical film to a plain render (RNG is (pixel, sample)-keyed).
+    ``heat_tile`` orders at tile granularity (see ``heat_order``) to
+    keep the spawn-order gather locality of the raster queue.
 
     ``tail_taper=True`` (default) renders the last ~max(k, k·pool/npix)
     samples of every pixel as 1-sample work items: when the
@@ -1600,7 +1622,7 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
                 # hardest-first (unflushed pixels — the in-flight
                 # stragglers — sort first) and install the full queue
                 # under the pool
-                order = jnp.asarray(heat_order(film))
+                order = jnp.asarray(heat_order(film, tile=heat_tile))
                 if stats is not None:
                     stats["phase1_s"] = round(_time.time() - t0, 1)
             repl = dict(total_items=jnp.full((1,), ph["total"], jnp.int32))

@@ -172,6 +172,20 @@ def test_pixel_order_invariant():
                                   np.asarray(f_ho.data[:, 4]))
     np.testing.assert_allclose(np.asarray(f_id.data), np.asarray(f_ho.data),
                                rtol=1e-5, atol=1e-6)
+    # tile-granular ordering: a valid permutation, raster order preserved
+    # within each tile (spawn-order gather locality), same rendered film
+    ot = np.asarray(integrator.heat_order(f_id, tile=4))
+    assert sorted(ot.tolist()) == list(range(w * h))
+    tid = (ot // w // 4) * 2 + (ot % w) // 4
+    for t in np.unique(tid):
+        ps = ot[tid == t]
+        assert (np.diff(ps) > 0).all()  # raster order within the tile
+    f_ht = integrator.render(scene, cam, settings, w, h, 16, pool=256,
+                             heat_ordered=True, heat_tile=4)
+    np.testing.assert_array_equal(np.asarray(f_id.data[:, 4]),
+                                  np.asarray(f_ht.data[:, 4]))
+    np.testing.assert_allclose(np.asarray(f_id.data), np.asarray(f_ht.data),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_multi_sample_items_equivalent():

@@ -68,6 +68,9 @@ def main() -> int:
         # config only (a tool knob, not a RenderSettings field — underscore
         # prefix like sweep.py's "_opacity")
         heat = bool(raw.pop("_heat_order", args.heat_order))
+        # "_heat_tile": N orders at N×N-tile granularity (locality-
+        # preserving; see integrator.heat_order)
+        heat_tile = raw.pop("_heat_tile", None)
         # "_tail_taper": 0 disables the 1-sample-item drain taper
         taper = bool(raw.pop("_tail_taper", 1))
         settings = RenderSettings(steps_per_launch=args.steps,
@@ -83,12 +86,15 @@ def main() -> int:
         stats = {}
         film = integrator.render(scene, cam, settings, w, h, args.spp,
                                  pool=args.pool, stats=stats,
-                                 heat_ordered=heat, tail_taper=taper)
+                                 heat_ordered=heat, heat_tile=heat_tile,
+                                 tail_taper=taper)
         dt = time.time() - t0
         spp = float(np.mean(np.asarray(filmmod.spp(film))))
         stats.pop("drain_log", None)
         if heat:
             raw["_heat_order"] = 1
+        if heat_tile is not None:
+            raw["_heat_tile"] = heat_tile
         if not taper:
             raw["_tail_taper"] = 0
         print(json.dumps({
