@@ -222,19 +222,26 @@ def main(argv=None) -> int:
 
     film = None
     sample_offset = args.sample_offset
+    prior_counts = 0.0  # per-pixel counts of the loaded film (0 if fresh)
     if args.checkpoint and os.path.exists(args.checkpoint):
-        film = filmmod.from_numpy_state(
-            {k: v for k, v in np.load(args.checkpoint).items()})
+        ck = {k: v for k, v in np.load(args.checkpoint).items()}
         # Resume must not re-draw sample indices the film already holds —
         # RNG streams are (pixel, sample)-keyed, so re-rendering the same
         # range adds exact duplicates (inflated spp, zero extra quality).
-        # Continue after the highest accumulated index, rounded up to the
-        # work-item size (the few sub-item indices other pixels are
-        # missing are skipped — unbiased, each pixel's mean uses its own
-        # count).
+        # Checkpoints written here record ``next_sample``, the first index
+        # no pixel has accumulated; continue there, rounded up to the
+        # work-item size (sub-item indices the rounding skips are dropped
+        # for every pixel alike — unbiased, each pixel's mean uses its own
+        # count).  Pre-field checkpoints fall back to the highest
+        # accumulated count, which equals next_sample whenever coverage is
+        # a contiguous prefix (it always was before rounding could skip).
+        nxt = int(ck.pop("next_sample", -1))
+        film = filmmod.from_numpy_state(ck)
+        prior_counts = np.asarray(film.count[:-1]).copy()
+        if nxt < 0:
+            nxt = int(prior_counts.max())
         k = settings.samples_per_item
-        resume_off = int(-(-int(np.max(np.asarray(filmmod.spp(film))))
-                           // k)) * k
+        resume_off = -(-nxt // k) * k
         sample_offset = max(sample_offset, resume_off)
         print(f"# resumed from {args.checkpoint} "
               f"(mean spp {float(np.mean(np.asarray(filmmod.spp(film)))):.1f}"
@@ -246,7 +253,14 @@ def main(argv=None) -> int:
 
     def save_checkpoint(state: dict) -> None:
         """Atomic film snapshot: write-to-tmp + rename, so a crash during
-        the save never corrupts the last good checkpoint."""
+        the save never corrupts the last good checkpoint.  Also records
+        ``next_sample`` — the first sample index no pixel has flushed yet:
+        within one run every pixel accumulates the contiguous prefix
+        [sample_offset, sample_offset + gain), so the largest per-pixel
+        gain over the loaded film bounds the flushed range exactly
+        (duplicate-free resume; see the load path above)."""
+        gain = int((state["count"][:-1] - prior_counts).max())
+        state["next_sample"] = sample_offset + max(0, gain)
         tmp = args.checkpoint + ".tmp.npz"
         np.savez_compressed(tmp, **state)
         os.replace(tmp, args.checkpoint)

@@ -1499,7 +1499,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
     work.  The straggler drain then only ever holds the easiest pixels.
     Identical film to a plain render (RNG is (pixel, sample)-keyed).
     ``heat_tile`` orders at tile granularity (see ``heat_order``) to
-    keep the spawn-order gather locality of the raster queue.
+    keep the spawn-order gather locality of the raster queue; it only
+    modifies the heat permutation, so it requires ``heat_ordered=True``
+    (passing it alone raises rather than silently rendering un-ordered).
 
     ``tail_taper=True`` (default) renders the last ~max(k, k·pool/npix)
     samples of every pixel as 1-sample work items: when the
@@ -1529,6 +1531,9 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         raise ValueError("config.instrument is for the occupancy analysis "
                          "tool (launch returns a third output); disable it "
                          "for render()")
+    if heat_tile is not None and not heat_ordered:
+        raise ValueError("heat_tile shapes the heat permutation and does "
+                         "nothing on its own — pass heat_ordered=True")
     if pool is None:
         pool = min(npix, 1 << 19)
     _, launch = make_step_fn(settings, width, height)
@@ -1586,6 +1591,16 @@ def render(scene: Scene, cam: cammod.Camera, settings: RenderSettings,
         order = jnp.arange(npix, dtype=jnp.int32)
         phases.insert(0, dict(total=total_main, heat=True))
         st = st.replace(total_items=jnp.full((1,), base + npix, jnp.int32))
+    if taper and m == 0:
+        # The whole render is 1-sample items (small spp relative to
+        # k·pool/npix): install the tail phase directly instead of letting
+        # the first launch run on an empty K-item queue and spawn nothing.
+        # m == 0 implies not heat_ordered (it floors m at k), so the tail
+        # phase is necessarily phases[0].
+        ph = phases.pop(0)
+        st = st.replace(next_item=jnp.full((1,), ph["next"], jnp.int32),
+                        total_items=jnp.full((1,), ph["total"], jnp.int32),
+                        k_queue=jnp.full((1,), ph["k"], jnp.int32))
 
     # Drain ladder: once the queue empties, live lanes collapse quickly but
     # a launch still costs the full pool — repack stragglers into

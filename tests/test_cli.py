@@ -50,6 +50,40 @@ def test_cli_blob_render(tmp_path):
     np.testing.assert_allclose(np.asarray(f.data), np.asarray(expect.data),
                                rtol=1e-5, atol=1e-6)
 
+    # third run: the checkpoint's recorded next_sample (10) keys the
+    # resume — K-rounding continues at [16, 18).  Before next_sample was
+    # persisted, the offset was re-derived from the accumulated count (4),
+    # which rounds to 8 and re-renders [8, 10) — exact (pixel, sample)
+    # duplicates (caught here: the film would differ from the disjoint
+    # three-range merge)
+    assert int(np.load(ckpt)["next_sample"]) == 10
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "2",
+        "--density", "20", "--steps-per-launch", "4",
+        "--pool", "256", "-o", str(out), "--checkpoint", str(ckpt)])
+    assert rc == 0
+    f = filmmod.from_numpy_state(
+        {k: v for k, v in np.load(ckpt).items()})
+    assert float(np.asarray(filmmod.spp(f)).min()) == 6.0
+    fc = integ.render(scene, cam, s, 16, 16, 2, pool=256, sample_offset=16)
+    expect = filmmod.merge([fa, fb, fc])
+    np.testing.assert_allclose(np.asarray(f.data), np.asarray(expect.data),
+                               rtol=1e-5, atol=1e-6)
+
+    # pre-next_sample checkpoints (older format) still resume: the count
+    # fallback equals next_sample whenever coverage is a contiguous prefix
+    state = {k: v for k, v in np.load(ckpt).items()}
+    state.pop("next_sample")
+    np.savez(ckpt, **state)
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "2",
+        "--density", "20", "--steps-per-launch", "4",
+        "--pool", "256", "-o", str(out), "--checkpoint", str(ckpt)])
+    assert rc == 0
+    f2 = filmmod.from_numpy_state(
+        {k: v for k, v in np.load(ckpt).items()})
+    assert float(np.asarray(filmmod.spp(f2)).min()) == 8.0
+
 
 def test_cli_periodic_checkpoint_and_failure_recovery(tmp_path, monkeypatch):
     """--checkpoint-every snapshots the film mid-render (atomic tmp+rename)

@@ -186,6 +186,11 @@ def test_pixel_order_invariant():
                                   np.asarray(f_ht.data[:, 4]))
     np.testing.assert_allclose(np.asarray(f_id.data), np.asarray(f_ht.data),
                                rtol=1e-5, atol=1e-6)
+    # heat_tile only shapes the heat permutation — passing it without
+    # heat_ordered would silently render un-ordered, so it raises instead
+    with pytest.raises(ValueError, match="heat_tile"):
+        integrator.render(scene, cam, settings, w, h, 16, pool=256,
+                          heat_tile=4)
 
 
 def test_multi_sample_items_equivalent():

@@ -55,6 +55,15 @@ def main() -> int:
 
     w, h = (int(v) for v in args.size.split("x"))
     cfgs = [json.loads(c) for c in args.configs]
+    for c in cfgs:
+        # fail fast, before the (minutes-long) scene upload: _heat_tile
+        # only shapes the heat permutation, so a config carrying it
+        # without the heat-ordered queue would be a no-op mislabeled as a
+        # measured tile variant
+        if c.get("_heat_tile") is not None \
+                and not (c.get("_heat_order", args.heat_order)):
+            ap.error(f"config {c}: _heat_tile requires _heat_order=1 "
+                     "(tile granularity only shapes the heat permutation)")
 
     t0 = time.time()
     scene_fn = scenes.flagship if args.scene == "flagship" else scenes.cloud
@@ -69,7 +78,8 @@ def main() -> int:
         # prefix like sweep.py's "_opacity")
         heat = bool(raw.pop("_heat_order", args.heat_order))
         # "_heat_tile": N orders at N×N-tile granularity (locality-
-        # preserving; see integrator.heat_order)
+        # preserving; see integrator.heat_order); combination with
+        # _heat_order already validated at parse time above
         heat_tile = raw.pop("_heat_tile", None)
         # "_tail_taper": 0 disables the 1-sample-item drain taper
         taper = bool(raw.pop("_tail_taper", 1))
