@@ -80,7 +80,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps-per-launch", type=int, default=None,
                    help="micro-steps per launch (default: config)")
     p.add_argument("--samples-per-item", type=int, default=None,
-                   help="consecutive samples per work item (default: config)")
+                   help="consecutive samples per work item (default: "
+                   "config; 8 is the long-render optimum, 4 measured "
+                   "better for spp <~ 300 — BENCH.md round 5)")
     p.add_argument("--flush-every", type=int, default=None,
                    help="film-flush cadence in housekeeping periods "
                    "(default: config)")

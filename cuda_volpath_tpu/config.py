@@ -205,10 +205,14 @@ class RenderSettings:
     # re-arms the next sample of the same pixel inline — the film
     # scatter-add (a ~92 ns/row whole-pool op on v5e, measured; by far the
     # priciest single op in the launch) then runs once per item instead of
-    # once per sample.  1 = reference-like one-sample items.  Swept honest
-    # (long-window, phase-mixed warmup — see BENCH.md "the phase trap"):
-    # K8 with flush_every=8 is the v5e optimum (602k vs 562k at K1);
-    # larger K inflates pool idle/straggler cost (K16 579k, K32 486k).
+    # once per sample.  1 = reference-like one-sample items.  Swept on the
+    # finite-render ground truth (time-to-N-spp, BENCH.md round 5): the
+    # queue-phase rate rises with K (fold/flush amortization; K1 is −29%)
+    # while the drain tail grows ~linearly with K even with the 1-sample
+    # taper, so the optimum depends on render length — K8 wins the
+    # 1000-spp headline (756.7 s vs K4's 770.1 s), K4 wins short renders
+    # (spp ≲ 300: 168.8 s vs K8's 172.9 s at spp 200).  Item size is a
+    # traced register, so changing it never recompiles.
     samples_per_item: int = 8
     # Film-flush + work-queue-spawn cadence, in housekeeping periods: the
     # flush pass (film scatter + spawn cumsum) runs every
