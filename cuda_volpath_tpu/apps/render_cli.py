@@ -58,6 +58,25 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shadow transmittance estimator: 'binary' is the "
                    "reference's Tr_spectral (kernel.cu:754) with early "
                    "termination, 'ratio' its lower-variance refinement")
+    p.add_argument("--spectral", default="spectral",
+                   choices=["spectral", "multi_channel", "mono"],
+                   help="chromatic strategy (kernel.cu:23-27): 'spectral' "
+                   "joint-RGB tracking (reference default), "
+                   "'multi_channel' one wavelength per sample "
+                   "(MULTI_CHANNEL=1), 'mono' achromatic")
+    p.add_argument("--envmap", default=None, metavar="FILE.hdr",
+                   help="use a Radiance .hdr image as the environment "
+                   "light instead of the baked sunsky (the reference's "
+                   "EnvMapLoader, volumeRender.cpp:223-236)")
+    p.add_argument("--envmap-brightness", type=float, default=1.0,
+                   metavar="K", help="scale applied to --envmap radiance "
+                   "(EnvMapLoader's k_brightness)")
+    p.add_argument("--envmap-mode", default="passive",
+                   choices=["passive", "mis"],
+                   help="'passive': envmap contributes only when a path "
+                   "escapes (PASSIVE_ENVMAP=1, reference default); 'mis': "
+                   "one-sample MIS with the luminance CDF at every "
+                   "scatter (kernel.cu:1494-1569)")
     p.add_argument("--ev-budget", type=float, default=1.0,
                    help="segment scale-selection event budget")
     p.add_argument("--preset", type=int, default=None,
@@ -179,7 +198,7 @@ def main(argv=None) -> int:
     configure_jax()  # JAX_PLATFORMS pin + persistent compile cache
     import jax.numpy as jnp
     from ..config import (Param, RenderSettings, Tracker, FilterMode,
-                          ShadowMode)
+                          ShadowMode, SpectralMode, EnvmapMode)
     from ..render import camera as cammod
     from ..render import film as filmmod
     from ..render import integrator
@@ -198,6 +217,8 @@ def main(argv=None) -> int:
                   g=args.g, sigma_t=tuple(args.sigma_t))
     settings = RenderSettings(
         tracker=Tracker(args.tracker),
+        spectral=SpectralMode(args.spectral),
+        envmap_mode=EnvmapMode(args.envmap_mode),
         filter_mode=FilterMode(args.filter),
         shadow_mode=ShadowMode(args.shadow),
         ev_budget=args.ev_budget,
@@ -213,6 +234,11 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     scene, cam = _load_scene(args, param)
+    if args.envmap:
+        from ..lighting import envmap as envmod
+        img = hdrio.read_hdr(args.envmap) * np.float32(
+            args.envmap_brightness)
+        scene = scene.replace(envmap=envmod.build(img))
     if args.orbit:
         cam = cammod.orbit(cam, *args.orbit)
     if args.zoom:

@@ -151,6 +151,37 @@ def test_argparser_covers_reference_params():
     a = p.parse_args(["--preset", "3", "--tracker", "delta",
                       "--filter", "linear", "--no-sun"])
     assert a.preset == 3 and a.tracker == "delta"
+    # the compile-time switches are runtime CLI flags (SURVEY §2.3)
+    a = p.parse_args(["--spectral", "mono", "--envmap-mode", "mis",
+                      "--envmap", "x.hdr", "--envmap-brightness", "2.5"])
+    assert a.spectral == "mono" and a.envmap_mode == "mis"
+    assert a.envmap == "x.hdr" and a.envmap_brightness == 2.5
+
+
+def test_cli_hdr_envmap_and_spectral_modes(tmp_path):
+    """--envmap FILE.hdr replaces the scene light (EnvMapLoader,
+    volumeRender.cpp:223-236) and --spectral/--envmap-mode select the
+    kernel.cu:21-27 compile-time modes at runtime."""
+    env = tmp_path / "env.hdr"
+    img = np.zeros((8, 16, 3), np.float32)
+    img[:4] = (0.2, 0.5, 1.0)  # sky-ish upper half
+    img[4:] = (0.3, 0.2, 0.1)
+    hdr.write_hdr(str(env), img, flip_y=False)
+
+    out = tmp_path / "env_out.ppm"
+    rc = render_cli.main([
+        "--scene", "blob", "--size", "16x16", "--spp", "2",
+        "--density", "20", "--steps-per-launch", "4", "--pool", "256",
+        "--envmap", str(env), "--envmap-brightness", "2.0",
+        "--envmap-mode", "mis", "--spectral", "mono", "--no-sun",
+        "-o", str(out)])
+    assert rc == 0
+    got = hdr.read_hdr(str(out.with_suffix(".hdr")))
+    assert got.shape == (16, 16, 3) and np.isfinite(got).all()
+    # border pixels miss the blob and see the (2× brightened) envmap
+    # directly; the blob occupies the frame center
+    corner = got[0, 0]
+    assert np.allclose(corner, 2.0 * img[0, 0], rtol=0.02)
 
 
 def test_half_block_frame():
